@@ -70,8 +70,15 @@ def ijk_to_hex2d(ijk: np.ndarray) -> np.ndarray:
 
 def hex2d_to_ijk(v: np.ndarray) -> np.ndarray:
     """Planar (x, y) -> nearest lattice IJK+ (H3's _hex2dToCoordIJK rounding)."""
-    x = np.asarray(v[..., 0], dtype=np.float64)
-    y = np.asarray(v[..., 1], dtype=np.float64)
+    a, b = hex2d_to_axial(v[..., 0], v[..., 1])
+    k = -np.minimum(np.minimum(a, b), 0)
+    return np.stack([a + k, b + k, k], axis=-1)
+
+
+def hex2d_to_axial(x, y) -> tuple[np.ndarray, np.ndarray]:
+    """Planar (x, y) -> nearest lattice point in axial coords (i-k, j-k)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
 
     a1 = np.abs(x)
     a2 = np.abs(y)
@@ -129,8 +136,7 @@ def hex2d_to_ijk(v: np.ndarray) -> np.ndarray:
     i = np.where(neg_y, i - (2 * j + 1) // 2, i)
     j = np.where(neg_y, -j, j)
 
-    k = np.zeros_like(i)
-    return normalize(np.stack([i, j, k], axis=-1))
+    return i, j
 
 
 def up_ap7(ijk: np.ndarray) -> np.ndarray:

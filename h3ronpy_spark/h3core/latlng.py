@@ -1,0 +1,382 @@
+"""Vectorized latlng <-> H3 cell conversion (the encode/decode kernels).
+
+Reproduces the behavior of h3ronpy's `coordinates_to_cells` /
+`cells_to_coordinates` (reference: h3ronpy/src/vector.rs:148-241, SURVEY.md
+§2.6 ops 27-28) as pure-numpy batch kernels suitable for Spark pandas UDFs.
+Implemented from the public H3 spec; parity pinned by golden values in
+tests/test_h3core.py.
+
+Performance notes: the hexagon-lattice walk runs in *axial* integer
+coordinates (a, b) = (i - k, j - k), which makes every aperture step a
+2-component integer linear map with no normalization, and the aperture-7
+rounding is integer-exact (denominator 7 is odd, so exact .5 never occurs:
+round(x/7) == floor((2x + 7) / 14)).  Rows are grouped by resolution so the
+digit loops run mask-free.  Digits are held as (N, 15) int8 with padding 7
+(the rotation LUTs map 7 -> 7, so padding survives rotations unchanged).
+
+Input/output angles are radians here; degree wrappers live in the Spark
+function layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import ijk as IJK
+from . import index as IDX
+from .constants import (
+    BASE_CELL_HOME_FACE,
+    BASE_CELL_HOME_IJK,
+    BASE_CELL_IS_PENTAGON,
+    FACE_CENTER_GEO,
+    FACE_CENTER_XYZ,
+    M_AP7_ROT_RADS,
+    M_SQRT7,
+    RES0_U_GNOMONIC,
+    geo_az_distance,
+    geo_azimuth,
+    pos_angle,
+)
+from .tables import (
+    AZ_FACE_I,
+    FACE_IJK_BASE_CELL,
+    FACE_IJK_CCWROT60,
+    FACE_NEIGHBOR_CCWROT,
+    FACE_NEIGHBOR_FACE,
+    FACE_NEIGHBOR_TRANSLATE,
+    IJ_QUAD,
+    JK_QUAD,
+    KI_QUAD,
+    PENT_CW_OFFSET,
+)
+
+_NO_OVERAGE, _FACE_EDGE, _NEW_FACE = 0, 1, 2
+
+_SQRT7_POW = M_SQRT7 ** np.arange(0, 17)
+
+# axial diff -> digit LUT: index (da+1)*3 + (db+1)
+_AXIAL_DIGIT = np.array([1, 3, 7, 5, 0, 2, 7, 4, 6], dtype=np.int8)
+# digit -> axial unit vector
+_DIGIT_AXIAL = np.array(
+    [[0, 0], [-1, -1], [0, 1], [-1, 0], [1, 0], [0, -1], [1, 1]], dtype=np.int64
+)
+_ROT_CCW8 = IJK.DIGIT_ROT_CCW.astype(np.int8)
+_ROT_CW8 = IJK.DIGIT_ROT_CW.astype(np.int8)
+
+_PACK_W = (np.uint64(1) << (np.uint64(45) - np.uint64(3) * np.arange(1, 16, dtype=np.uint64))).astype(np.int64)
+
+
+def _up7_axial(a, b, odd: bool):
+    """One aperture-7 coarsening step in axial coords, integer exact."""
+    if odd:  # counter-clockwise (class III step)
+        na = np.floor_divide(2 * (3 * a - b) + 7, 14)
+        nb = np.floor_divide(2 * (a + 2 * b) + 7, 14)
+    else:  # clockwise
+        na = np.floor_divide(2 * (2 * a + b) + 7, 14)
+        nb = np.floor_divide(2 * (3 * b - a) + 7, 14)
+    return na, nb
+
+
+def _down7_axial(a, b, odd: bool):
+    if odd:
+        return 2 * a + b, 3 * b - a
+    return 3 * a - b, a + 2 * b
+
+
+def _lead_digit(digits: np.ndarray) -> np.ndarray:
+    """First non-zero digit per row of an int8 (N, 15) digit array padded
+    with 7 beyond each row's res; all-zero rows -> 0."""
+    nz = digits != 0
+    first = np.argmax(nz, axis=-1)
+    val = np.take_along_axis(digits, first[:, None], axis=-1)[:, 0]
+    return np.where(val == 7, 0, val).astype(np.int64)
+
+
+def _rot_digits(digits: np.ndarray, rows: np.ndarray, ccw: bool) -> None:
+    """In-place 60-deg digit rotation of selected rows (LUT maps 7->7)."""
+    t = _ROT_CCW8 if ccw else _ROT_CW8
+    digits[rows] = t[digits[rows]]
+
+
+def latlng_to_cell(lat: np.ndarray, lng: np.ndarray, res) -> np.ndarray:
+    """(lat, lng) radians + res (scalar or per-row) -> int64 cell indexes.
+
+    Invalid input (NaN coords / res out of range) yields -1."""
+    lat = np.ascontiguousarray(lat, dtype=np.float64).ravel()
+    lng = np.ascontiguousarray(lng, dtype=np.float64).ravel()
+    n = lat.shape[0]
+    res_arr = np.broadcast_to(np.asarray(res, dtype=np.int64), (n,))
+
+    bad = ~np.isfinite(lat) | ~np.isfinite(lng) | (res_arr < 0) | (res_arr > 15)
+    if bad.any():
+        lat = np.where(bad, 0.0, lat)
+        lng = np.where(bad, 0.0, lng)
+        res_arr = np.where(bad, 0, res_arr)
+
+    # --- project to (face, hex2d)
+    cl = np.cos(lat)
+    xyz = np.empty((n, 3))
+    xyz[:, 0] = cl * np.cos(lng)
+    xyz[:, 1] = cl * np.sin(lng)
+    xyz[:, 2] = np.sin(lat)
+    face = np.argmax(xyz @ FACE_CENTER_XYZ.T, axis=-1)
+    cosd = np.clip(np.sum(xyz * FACE_CENTER_XYZ[face], axis=-1), -1.0, 1.0)
+    dist = np.arccos(cosd)
+    az = geo_azimuth(FACE_CENTER_GEO[face, 0], FACE_CENTER_GEO[face, 1], lat, lng)
+    theta = pos_angle(AZ_FACE_I[face] - pos_angle(az))
+    odd = (res_arr & 1) == 1
+    theta = np.where(odd, pos_angle(theta - M_AP7_ROT_RADS), theta)
+    r = np.tan(dist) * (_SQRT7_POW[res_arr] / RES0_U_GNOMONIC)
+    x = r * np.cos(theta)
+    y = r * np.sin(theta)
+
+    a_all, b_all = IJK.hex2d_to_axial(x, y)
+
+    digits = np.full((n, 15), 7, dtype=np.int8)
+    a0 = np.empty(n, dtype=np.int64)
+    b0 = np.empty(n, dtype=np.int64)
+
+    # --- unwind digits, grouped by resolution (mask-free inner loop)
+    for rv in np.unique(res_arr):
+        g = np.nonzero(res_arr == rv)[0]
+        a, b = a_all[g], b_all[g]
+        dsub = np.full((g.size, int(rv)), 7, dtype=np.int8) if rv else None
+        for rr in range(int(rv), 0, -1):
+            o = (rr & 1) == 1
+            ua, ub = _up7_axial(a, b, o)
+            ca, cb = _down7_axial(ua, ub, o)
+            da, db = a - ca, b - cb
+            dsub[:, rr - 1] = _AXIAL_DIGIT[(da + 1) * 3 + (db + 1)]
+            a, b = ua, ub
+        if rv:
+            digits[g, : int(rv)] = dsub
+        a0[g] = a
+        b0[g] = b
+
+    # axial -> normalized ijk (res-0 coords are small)
+    k0 = -np.minimum(np.minimum(a0, b0), 0)
+    i0 = a0 + k0
+    j0 = b0 + k0
+    oob = (i0 < 0) | (i0 > 2) | (j0 < 0) | (j0 > 2) | (k0 < 0) | (k0 > 2)
+    bad |= oob
+    i0 = np.clip(i0, 0, 2)
+    j0 = np.clip(j0, 0, 2)
+    k0 = np.clip(k0, 0, 2)
+
+    bc = FACE_IJK_BASE_CELL[face, i0, j0, k0]
+    rots = FACE_IJK_CCWROT60[face, i0, j0, k0].copy()
+    pent = BASE_CELL_IS_PENTAGON[bc]
+
+    # --- pentagon: rotate out of the deleted K subsequence
+    pidx = np.nonzero(pent)[0]
+    if pidx.size:
+        lead = _lead_digit(digits[pidx])
+        k_lead = pidx[lead == IJK.K_AXES]
+        if k_lead.size:
+            cw_rows = k_lead[PENT_CW_OFFSET[bc[k_lead], face[k_lead]]]
+            ccw_rows = k_lead[~PENT_CW_OFFSET[bc[k_lead], face[k_lead]]]
+            _rot_digits(digits, cw_rows, ccw=False)
+            _rot_digits(digits, ccw_rows, ccw=True)
+
+    # --- frame rotations (hexagon: plain ccw; pentagon: ccw skipping K)
+    hex_rows = np.nonzero(~pent & (rots > 0))[0]
+    rcount = rots[hex_rows]
+    for step in range(1, 6):
+        sel = hex_rows[rcount >= step]
+        if sel.size == 0:
+            break
+        _rot_digits(digits, sel, ccw=True)
+    if pidx.size:
+        prows = pidx[rots[pidx] > 0]
+        pcount = rots[prows]
+        for step in range(1, 5):
+            sel = prows[pcount >= step]
+            if sel.size == 0:
+                break
+            _rot_digits(digits, sel, ccw=True)
+            lead = _lead_digit(digits[sel])
+            again = sel[lead == IJK.K_AXES]
+            if again.size:
+                _rot_digits(digits, again, ccw=True)
+
+    # --- pack (column-wise, no (N,15) int64 materialization)
+    h = (
+        (np.int64(IDX.MODE_CELL) << np.int64(59))
+        | (res_arr << np.int64(52))
+        | (bc << np.int64(45))
+    )
+    for rr in range(15):
+        h |= digits[:, rr].astype(np.int64) * _PACK_W[rr]
+    return np.where(bad, np.int64(-1), h)
+
+
+def _adjust_overage(face, c, res_cii, pent_leading_4, substrate: bool):
+    """Vectorized class-II overage adjustment (one pass) on ijk coords.
+
+    Returns (overage_code, face, c); res_cii per-row even resolution."""
+    face = face.copy()
+    c = c.copy()
+    max_dim = 2 * 7 ** (res_cii // 2)
+    unit_scale = 7 ** (res_cii // 2)
+    if substrate:
+        max_dim = max_dim * 3
+        unit_scale = unit_scale * 3
+    s = c.sum(axis=-1)
+    ov = np.zeros(face.shape, dtype=np.int64)
+    if substrate:
+        ov = np.where(s == max_dim, _FACE_EDGE, ov)
+    over = s > max_dim
+    if not over.any():
+        return ov, face, c
+
+    i, j, k = c[:, 0], c[:, 1], c[:, 2]
+    # quadrant is chosen BEFORE the pentagon leading-4 rotation and kept
+    quad = np.where(k > 0, np.where(j > 0, JK_QUAD, KI_QUAD), IJ_QUAD)
+    # pentagon leading-4 distortion: rotate about the pentagon vertex
+    pl4 = over & pent_leading_4 & (quad == KI_QUAD)
+    if pl4.any():
+        md = np.broadcast_to(np.asarray(max_dim), face.shape)
+        tmp_a = (c[pl4, 0] - md[pl4]) - c[pl4, 2]
+        tmp_b = c[pl4, 1] - c[pl4, 2]
+        # axial cw rotation: (a, b) -> (b, b - a)
+        na, nb = tmp_b, tmp_b - tmp_a
+        na = na + md[pl4]
+        rot = np.stack([na, nb, np.zeros_like(na)], axis=-1)
+        c[pl4] = IJK.normalize(rot)
+
+    rot_n = np.where(over, FACE_NEIGHBOR_CCWROT[face, quad], 0)
+    oidx = np.nonzero(over)[0]
+    rcount = rot_n[oidx]
+    for step in range(1, 6):
+        sel = oidx[rcount >= step]
+        if sel.size == 0:
+            break
+        c[sel] = IJK.rotate60ccw(c[sel])
+    trans = FACE_NEIGHBOR_TRANSLATE[face[oidx], quad[oidx]] * np.broadcast_to(
+        np.asarray(unit_scale), face.shape
+    )[oidx, None]
+    c[oidx] = IJK.normalize(c[oidx] + trans)
+    face[oidx] = FACE_NEIGHBOR_FACE[face[oidx], quad[oidx]]
+    s = c.sum(axis=-1)
+    if substrate:
+        ov = np.where(over, np.where(s == max_dim, _FACE_EDGE, _NEW_FACE), ov)
+    else:
+        ov = np.where(over, _NEW_FACE, ov)
+    return ov, face, c
+
+
+def cell_to_fijk(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized cell -> (face, ijk coord, res) with overage handling."""
+    h = np.asarray(h, dtype=np.int64).ravel()
+    n = h.shape[0]
+    res = IDX.get_resolution(h)
+    bc = np.clip(IDX.get_base_cell(h), 0, 121)
+    digits = IDX.get_digits(h).astype(np.int8)
+    pent = BASE_CELL_IS_PENTAGON[bc]
+
+    lead = _lead_digit(np.where(
+        np.arange(1, 16) <= res[:, None], digits, np.int8(7)
+    ).astype(np.int8))
+    lead5 = np.nonzero(pent & (lead == 5))[0]
+    if lead5.size:
+        _rot_digits(digits, lead5, ccw=False)
+        lead = lead.copy()
+
+    home = BASE_CELL_HOME_IJK[bc]
+    a_all = home[:, 0] - home[:, 2]
+    b_all = home[:, 1] - home[:, 2]
+    face = BASE_CELL_HOME_FACE[bc].copy()
+
+    out_a = np.empty(n, dtype=np.int64)
+    out_b = np.empty(n, dtype=np.int64)
+    for rv in np.unique(res):
+        g = np.nonzero(res == rv)[0]
+        a, b = a_all[g], b_all[g]
+        for rr in range(1, int(rv) + 1):
+            o = (rr & 1) == 1
+            a, b = _down7_axial(a, b, o)
+            d = digits[g, rr - 1]
+            a = a + _DIGIT_AXIAL[d, 0]
+            b = b + _DIGIT_AXIAL[d, 1]
+        out_a[g] = a
+        out_b[g] = b
+
+    kk = -np.minimum(np.minimum(out_a, out_b), 0)
+    c = np.stack([out_a + kk, out_b + kk, kk], axis=-1)
+
+    home_origin = (home == 0).all(axis=-1)
+    po = pent | ~((res == 0) | home_origin)
+    if po.any():
+        orig_c = c.copy()
+        odd = (res & 1) == 1
+        res2 = np.where(po & odd, res + 1, res)
+        c_sub = c.copy()
+        subm = po & odd
+        if subm.any():
+            c_sub[subm] = IJK.down_ap7r(c_sub[subm])
+        # recompute lead on the (possibly cw-rotated) digits
+        lead_now = _lead_digit(np.where(
+            np.arange(1, 16) <= res[:, None], digits, np.int8(7)
+        ).astype(np.int8))
+        pl4 = pent & (lead_now == 4)
+        ov, nface, nc = _adjust_overage(face, c_sub, res2, pl4, False)
+        adj = po & (ov != _NO_OVERAGE)
+        for _ in range(3):
+            pend = adj & pent
+            if not pend.any():
+                break
+            ov2, nface2, nc2 = _adjust_overage(
+                nface, nc, res2, np.zeros_like(pl4), False
+            )
+            more = pend & (ov2 != _NO_OVERAGE)
+            if not more.any():
+                break
+            nface = np.where(more, nface2, nface)
+            nc = np.where(more[:, None], nc2, nc)
+        face = np.where(adj, nface, face)
+        c = np.where(adj[:, None], nc, c)
+        back = adj & odd
+        if back.any():
+            c[back] = IJK.up_ap7r(c[back])
+        no_adj = po & (ov == _NO_OVERAGE)
+        c = np.where(no_adj[:, None], orig_c, c)
+    return face, c, res
+
+
+def fijk_to_geo(face, c, res, substrate: bool = False):
+    """Face-plane lattice coords -> (lat, lng) radians (no overage)."""
+    face = np.asarray(face, dtype=np.int64)
+    res = np.asarray(res, dtype=np.int64)
+    v = IJK.ijk_to_hex2d(np.asarray(c, dtype=np.int64))
+    x, y = v[..., 0], v[..., 1]
+    r = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    r = r / _SQRT7_POW[res]
+    odd = (res & 1) == 1
+    if substrate:
+        r = r / 3.0
+        r = np.where(odd, r / M_SQRT7, r)
+    else:
+        theta = np.where(odd, theta + M_AP7_ROT_RADS, theta)
+    r = np.arctan(r * RES0_U_GNOMONIC)
+    az = AZ_FACE_I[face] - theta
+    lat0 = FACE_CENTER_GEO[face, 0]
+    lng0 = FACE_CENTER_GEO[face, 1]
+    lat, lng = geo_az_distance(lat0, lng0, az, r)
+    at_c = r < 1e-16
+    if np.any(at_c):
+        lat = np.where(at_c, lat0, lat)
+        lng = np.where(at_c, lng0, lng)
+    return lat, lng
+
+
+def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
+    """int64 cells -> (lat, lng) radians of cell centers. Invalid -> NaN."""
+    h = np.asarray(h, dtype=np.int64).ravel()
+    valid = IDX.is_valid_cell(h)
+    face, c, res = cell_to_fijk(np.where(valid, h, np.int64(0x08001FFFFFFFFFFF)))
+    lat, lng = fijk_to_geo(face, c, res)
+    if not valid.all():
+        lat = np.where(valid, lat, np.nan)
+        lng = np.where(valid, lng, np.nan)
+    return lat, lng

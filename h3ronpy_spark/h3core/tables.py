@@ -512,27 +512,20 @@ def _adjust_overage_scalar(face, coord, res, pent_leading_4, substrate):
     if s <= max_dim:
         return 0, face, c
     i, j, k = (int(x) for x in c)
+    # quadrant chosen BEFORE the pentagon leading-4 rotation and kept
     if k > 0:
-        if j > 0:
-            q = JK_QUAD
-        else:
-            q = KI_QUAD
-            if pent_leading_4:
-                origin = np.array([max_dim, 0, 0], dtype=np.int64)
-                c = IJK.rotate60cw(c - origin) + origin
-                # note: rotate60cw normalizes; redo relative to origin
-                tmp = np.asarray(coord, dtype=np.int64) - origin
-                a, b = tmp[0] - tmp[2], tmp[1] - tmp[2]
-                # axial cw rotation: inverse of ccw (a,b)->(a-b,a) is (a,b)->(b, b-a)
-                a, b = b, b - a
-                c = IJK.normalize(np.array([a + origin[0], b + origin[1], origin[2]], dtype=np.int64))
-                i, j, k = (int(x) for x in c)
-                if k > 0:
-                    q = JK_QUAD if j > 0 else KI_QUAD
-                else:
-                    q = IJ_QUAD
+        q = JK_QUAD if j > 0 else KI_QUAD
     else:
         q = IJ_QUAD
+    if pent_leading_4 and q == KI_QUAD:
+        origin = np.array([max_dim, 0, 0], dtype=np.int64)
+        tmp = c - origin
+        a, b = int(tmp[0] - tmp[2]), int(tmp[1] - tmp[2])
+        # axial cw rotation: inverse of ccw (a,b)->(a-b,a) is (a,b)->(b, b-a)
+        a, b = b, b - a
+        c = IJK.normalize(
+            np.array([a + origin[0], b + origin[1], origin[2]], dtype=np.int64)
+        )
     r = int(FACE_NEIGHBOR_CCWROT[face, q])
     for _ in range(r):
         c = IJK.rotate60ccw(c)
