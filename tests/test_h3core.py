@@ -1,0 +1,199 @@
+"""Golden-value and invariant tests for the from-scratch H3 core.
+
+Ports the assertion strategy of the reference test-suite (SURVEY.md §5):
+golden literals pin absolute parity with the public H3 grid; roundtrips and
+structural invariants pin global consistency.  Reference asserts mirrored
+from h3ronpy/tests/arrow/* (cited per test).
+"""
+
+import numpy as np
+import pytest
+
+from h3ronpy_spark.h3core import index as IDX
+from h3ronpy_spark.h3core import latlng as LL
+
+d2r = np.radians
+
+POP_PARQUET = "/root/reference/h3ronpy/data/population-841fa8bffffffff.parquet"
+
+
+def _pop_cells():
+    import duckdb
+
+    return (
+        duckdb.sql(f"select h3index from read_parquet('{POP_PARQUET}')")
+        .fetchnumpy()["h3index"]
+        .astype(np.int64)
+    )
+
+
+class TestGolden:
+    def test_latlng_to_cell_golden(self):
+        # h3ronpy/tests/arrow/test_utf8.py:70-78: cell at (45.5, 10.2, 5)
+        h = LL.latlng_to_cell(d2r([45.5]), d2r([10.2]), 5)
+        assert h[0] == 0x851F9923FFFFFFF
+
+    def test_change_resolution_golden(self):
+        # h3ronpy/tests/polars/test_expr.py:57-64
+        h8 = LL.latlng_to_cell(d2r([10.3]), d2r([45.1]), 8)
+        assert IDX.cell_to_parent(h8, 5)[0] == 600436446234411007
+
+    def test_population_parquet_roundtrip(self):
+        cells = _pop_cells()
+        assert IDX.is_valid_cell(cells).all()
+        assert (IDX.get_resolution(cells) == 10).all()
+        lat, lng = LL.cell_to_latlng(cells)
+        back = LL.latlng_to_cell(lat, lng, 10)
+        assert (back == cells).all()
+        par = np.unique(IDX.cell_to_parent(cells, 4))
+        assert par.tolist() == [0x841FA8BFFFFFFFF]
+
+    def test_res0_pentagon_index(self):
+        # h3ronpy/tests/pandas/test_vector.py:14-16 uses 0x8009fffffffffff
+        h = np.array([0x8009FFFFFFFFFFF], dtype=np.int64)
+        assert IDX.is_valid_cell(h).all()
+        assert IDX.get_resolution(h)[0] == 0
+        assert IDX.get_base_cell(h)[0] == 4
+        assert IDX.is_pentagon(h)[0]
+
+
+class TestRoundtrips:
+    def test_global_random_roundtrip(self):
+        rng = np.random.default_rng(42)
+        n = 100_000
+        lat = np.arcsin(rng.uniform(-1, 1, n))
+        lng = rng.uniform(-np.pi, np.pi, n)
+        res = rng.integers(0, 16, n)
+        h = LL.latlng_to_cell(lat, lng, res)
+        assert IDX.is_valid_cell(h).all()
+        clat, clng = LL.cell_to_latlng(h)
+        assert (LL.latlng_to_cell(clat, clng, res) == h).all()
+
+    def test_sphere_tiling_res3(self):
+        # every res-3 cell decodes to a center that encodes back to itself
+        # => centers are distinct => the grid tiles the sphere (validates
+        # the derived pentagon rotations, SURVEY.md §7 risk 1)
+        res0 = IDX.build_cell(
+            np.arange(122), np.zeros(122, dtype=np.int64), np.full((122, 15), 7)
+        )
+        _, c3 = IDX.cell_to_children_flat(res0, 3)
+        assert c3.size == 110 * 343 + 12 * 286
+        lat, lng = LL.cell_to_latlng(c3)
+        assert (LL.latlng_to_cell(lat, lng, 3) == c3).all()
+
+    def test_null_propagation(self):
+        h = LL.latlng_to_cell(np.array([np.nan, 0.5]), np.array([0.1, 0.2]), 5)
+        assert h[0] == -1 and h[1] != -1
+        lat, lng = LL.cell_to_latlng(np.array([-1, int(h[1])]))
+        assert np.isnan(lat[0]) and np.isfinite(lat[1])
+
+
+class TestHierarchy:
+    def test_parent_of_finer(self):
+        # H3 children are not perfectly spatially nested, so
+        # parent(encode(p, 9), 5) == encode(p, 5) only holds away from cell
+        # boundaries — but it must hold for the vast majority of points
+        rng = np.random.default_rng(7)
+        lat = np.arcsin(rng.uniform(-1, 1, 2000))
+        lng = rng.uniform(-np.pi, np.pi, 2000)
+        h9 = LL.latlng_to_cell(lat, lng, 9)
+        h5 = IDX.cell_to_parent(h9, 5)
+        h5d = LL.latlng_to_cell(lat, lng, 5)
+        match = (h5 == h5d).mean()
+        assert match > 0.90, match
+        # and exactly for the cells' own centers
+        clat, clng = LL.cell_to_latlng(h9)
+        assert (IDX.cell_to_parent(LL.latlng_to_cell(clat, clng, 9), 5) == h5).all()
+
+    def test_children_count_7pow(self):
+        # h3ronpy/tests/arrow/test_resolution.py:8-17: res5->9 is 7^4 per
+        # hexagon
+        h5 = LL.latlng_to_cell(d2r([45.5]), d2r([10.2]), 5)
+        rows, kids = IDX.cell_to_children_flat(h5, 9)
+        assert kids.size == 7**4
+        assert (IDX.cell_to_parent(kids, 5) == h5[0]).all()
+
+    def test_children_roundtrip_parent(self):
+        rng = np.random.default_rng(3)
+        lat = np.arcsin(rng.uniform(-1, 1, 50))
+        lng = rng.uniform(-np.pi, np.pi, 50)
+        h6 = LL.latlng_to_cell(lat, lng, 6)
+        rows, kids = IDX.cell_to_children_flat(h6, 8)
+        assert (IDX.cell_to_parent(kids, 6) == h6[rows]).all()
+        # children centers encode back into the child
+        klat, klng = LL.cell_to_latlng(kids)
+        assert (LL.latlng_to_cell(klat, klng, 8) == kids).all()
+
+    def test_pentagon_children_count(self):
+        pent0 = np.array([0x8009FFFFFFFFFFF], dtype=np.int64)
+        _, kids = IDX.cell_to_children_flat(pent0, 1)
+        assert kids.size == 6
+        assert IDX.is_valid_cell(kids).all()
+        _, kids2 = IDX.cell_to_children_flat(pent0, 2)
+        assert kids2.size == 1 + 5 * (49 - 1) // 6  # 41
+
+    def test_parent_res_too_fine_is_invalid(self):
+        h5 = LL.latlng_to_cell(d2r([45.5]), d2r([10.2]), 5)
+        assert IDX.cell_to_parent(h5, 9)[0] == -1
+
+
+class TestCompact:
+    def test_uncompact_res8_to_9(self):
+        # h3ronpy/tests/arrow/test_compact.py:37-44
+        h8 = LL.latlng_to_cell(d2r([45.5]), d2r([10.2]), 8)
+        _, kids = IDX.uncompact(h8, 9)
+        assert kids.size == 7
+
+    def test_compact_inverse(self):
+        # compacting all children of a cell gives back the cell
+        h5 = LL.latlng_to_cell(d2r([45.5]), d2r([10.2]), 5)
+        _, kids = IDX.cell_to_children_flat(h5, 8)
+        out = IDX.compact(kids)
+        assert out.tolist() == h5.tolist()
+
+    def test_compact_partial(self):
+        h5 = LL.latlng_to_cell(d2r([45.5]), d2r([10.2]), 5)
+        _, kids = IDX.cell_to_children_flat(h5, 6)
+        out = IDX.compact(kids[:-1])  # one child missing -> no compaction
+        assert sorted(out.tolist()) == sorted(kids[:-1].tolist())
+
+    def test_compact_mixed_levels(self):
+        h5 = LL.latlng_to_cell(d2r([45.5]), d2r([10.2]), 5)
+        _, k6 = IDX.cell_to_children_flat(h5, 6)
+        _, k7 = IDX.cell_to_children_flat(k6[:1], 7)
+        mixed = np.concatenate([k6[1:], k7])  # full coverage of h5
+        out = IDX.compact(mixed)
+        assert out.tolist() == h5.tolist()
+
+    def test_compact_pentagon(self):
+        pent = np.array([0x8009FFFFFFFFFFF], dtype=np.int64)
+        _, kids = IDX.cell_to_children_flat(pent, 2)
+        out = IDX.compact(kids)
+        assert out.tolist() == pent.tolist()
+
+
+class TestValidity:
+    def test_invalid_values(self):
+        # h3ronpy/tests/arrow/test_utf8.py:44-48 uses 45 as invalid
+        h = np.array([45, 0, -1, 0x851F9923FFFFFFF], dtype=np.int64)
+        v = IDX.is_valid_cell(h)
+        assert v.tolist() == [False, False, False, True]
+
+    def test_pentagon_leading_k_invalid(self):
+        # pentagon base cell 4, res 1, digit K(1) is in the deleted
+        # subsequence
+        digits = np.full((1, 15), 7)
+        digits[0, 0] = 1
+        h = IDX.build_cell(np.array([4]), np.array([1]), digits)
+        assert not IDX.is_valid_cell(h).any()
+        digits[0, 0] = 2
+        h = IDX.build_cell(np.array([4]), np.array([1]), digits)
+        assert IDX.is_valid_cell(h).all()
+
+    def test_resolution_extraction(self):
+        rng = np.random.default_rng(1)
+        lat = np.arcsin(rng.uniform(-1, 1, 64))
+        lng = rng.uniform(-np.pi, np.pi, 64)
+        for r in (0, 7, 15):
+            h = LL.latlng_to_cell(lat, lng, r)
+            assert (IDX.get_resolution(h) == r).all()
