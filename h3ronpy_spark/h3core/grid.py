@@ -1,0 +1,168 @@
+"""Grid traversal: neighbors, grid_disk, grid_ring, grid distances.
+
+Reproduces h3ronpy's `grid_disk` / `grid_disk_distances` /
+`grid_ring_distances` / `grid_disk_aggregate_k` input kernels (SURVEY.md
+§2.5 ops 23-26).  Instead of porting H3's per-base-cell neighbor rotation
+tables, neighbors are found *geometrically*: for each boundary edge of a
+cell, a probe point just beyond the edge midpoint is encoded back to a cell
+at the same resolution.  This is exact because cell interiors are convex
+around their edge midpoints and the probe stays well inside the adjacent
+cell at every resolution (validated by symmetry + disk-size invariants in
+tests/test_h3core_grid.py, incl. around pentagons).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import index as IDX
+from .boundary import cell_boundary
+from .constants import latlng_to_xyz, xyz_to_latlng
+from .latlng import cell_to_latlng, latlng_to_cell
+
+
+def neighbors(h) -> tuple[np.ndarray, np.ndarray]:
+    """All edge-adjacent cells of each input cell.
+
+    Returns (row_index, neighbor_cell) flat arrays; 6 per hexagon,
+    5 per pentagon."""
+    h = np.asarray(h, dtype=np.int64).ravel()
+    lats, lngs, counts = cell_boundary(h)
+    res = IDX.get_resolution(h)
+
+    # Use only the true corner vertices: distortion vertices inserted on
+    # icosahedron edges are *interior* to an edge, and probing beyond them
+    # still lands in the adjacent cell; so probing every consecutive vertex
+    # pair may yield duplicate neighbors — dedupe below.
+    n = h.shape[0]
+    clat, clng = cell_to_latlng(h)
+    cxyz = latlng_to_xyz(clat, clng)
+
+    maxc = int(counts.max()) if n else 0
+    rows_l, cells_l = [], []
+    vxyz = latlng_to_xyz(lats, lngs)
+    for v in range(maxc):
+        act = counts > np.maximum(v, 1)  # rows with enough vertices
+        act = v < counts
+        idx = np.nonzero(act)[0]
+        if idx.size == 0:
+            continue
+        nxt = np.where(v + 1 < counts[idx], v + 1, 0)
+        a = vxyz[idx, v]
+        b = vxyz[idx, nxt]
+        mid = a + b
+        mid /= np.linalg.norm(mid, axis=-1, keepdims=True)
+        probe = mid + 0.35 * (mid - cxyz[idx])
+        probe /= np.linalg.norm(probe, axis=-1, keepdims=True)
+        plat, plng = xyz_to_latlng(probe)
+        nb = latlng_to_cell(plat, plng, res[idx])
+        rows_l.append(idx)
+        cells_l.append(nb)
+    if not rows_l:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    rows = np.concatenate(rows_l)
+    cells = np.concatenate(cells_l)
+    # drop self-hits and duplicates per row
+    keep = cells != h[rows]
+    rows, cells = rows[keep], cells[keep]
+    order = np.lexsort((cells, rows))
+    rows, cells = rows[order], cells[order]
+    dup = np.zeros(rows.shape, dtype=bool)
+    dup[1:] = (rows[1:] == rows[:-1]) & (cells[1:] == cells[:-1])
+    return rows[~dup], cells[~dup]
+
+
+def grid_disk_distances(h, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BFS disk: returns (row_index, cell, grid_distance) flat arrays,
+    including the center cells at distance 0."""
+    h = np.asarray(h, dtype=np.int64).ravel()
+    n = h.shape[0]
+    out_rows = [np.arange(n)]
+    out_cells = [h.copy()]
+    out_k = [np.zeros(n, dtype=np.int64)]
+
+    # visited set per row via structured dedupe against accumulated results
+    frontier_rows = np.arange(n)
+    frontier_cells = h.copy()
+    seen_rows = frontier_rows
+    seen_cells = frontier_cells
+    for dist in range(1, k + 1):
+        r2, c2 = neighbors(frontier_cells)
+        rows = frontier_rows[r2]
+        cells = c2
+        # dedupe within the new frontier
+        order = np.lexsort((cells, rows))
+        rows, cells = rows[order], cells[order]
+        dup = np.zeros(rows.shape, dtype=bool)
+        dup[1:] = (rows[1:] == rows[:-1]) & (cells[1:] == cells[:-1])
+        rows, cells = rows[~dup], cells[~dup]
+        # remove already-seen (rows, cells)
+        seen_key = seen_rows * np.int64(1 << 32) ^ (seen_cells & np.int64((1 << 62) - 1))
+        new_key = rows * np.int64(1 << 32) ^ (cells & np.int64((1 << 62) - 1))
+        fresh = ~np.isin(new_key, seen_key)
+        rows, cells = rows[fresh], cells[fresh]
+        if rows.size == 0:
+            break
+        out_rows.append(rows)
+        out_cells.append(cells)
+        out_k.append(np.full(rows.shape, dist, dtype=np.int64))
+        seen_rows = np.concatenate([seen_rows, rows])
+        seen_cells = np.concatenate([seen_cells, cells])
+        frontier_rows, frontier_cells = rows, cells
+    return (
+        np.concatenate(out_rows),
+        np.concatenate(out_cells),
+        np.concatenate(out_k),
+    )
+
+
+def grid_disk(h, k: int) -> tuple[np.ndarray, np.ndarray]:
+    rows, cells, _ = grid_disk_distances(h, k)
+    return rows, cells
+
+
+def grid_ring_distances(
+    h, k_min: int, k_max: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    if k_min > k_max:
+        raise ValueError("k_min must be <= k_max")
+    rows, cells, kk = grid_disk_distances(h, k_max)
+    m = kk >= k_min
+    return rows[m], cells[m], kk[m]
+
+
+def grid_distance(a, b) -> np.ndarray:
+    """Grid distance between same-res cell pairs via bounded BFS from `a`.
+
+    Intended for small distances (tests/verification); -1 if not found
+    within 2 * angular-estimate + 4 steps."""
+    a = np.asarray(a, dtype=np.int64).ravel()
+    b = np.asarray(b, dtype=np.int64).ravel()
+    out = np.full(a.shape, -1, dtype=np.int64)
+    done = a == b
+    out[done] = 0
+    frontier_rows = np.nonzero(~done)[0]
+    frontier_cells = a[~done]
+    seen = {}
+    for i, c in zip(frontier_rows, frontier_cells):
+        seen.setdefault(int(i), set()).add(int(c))
+    dist = 0
+    while frontier_rows.size and dist < 64:
+        dist += 1
+        r2, c2 = neighbors(frontier_cells)
+        rows = frontier_rows[r2]
+        nxt_rows, nxt_cells = [], []
+        for i, c in zip(rows.tolist(), c2.tolist()):
+            s = seen[i]
+            if c in s:
+                continue
+            s.add(c)
+            if c == int(b[i]):
+                out[i] = dist
+            else:
+                nxt_rows.append(i)
+                nxt_cells.append(c)
+        mask_live = out[np.array(nxt_rows, dtype=np.int64)] == -1 if nxt_rows else np.array([], dtype=bool)
+        frontier_rows = np.array(nxt_rows, dtype=np.int64)[mask_live]
+        frontier_cells = np.array(nxt_cells, dtype=np.int64)[mask_live]
+    return out
