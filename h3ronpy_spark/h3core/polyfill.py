@@ -1,0 +1,225 @@
+"""Polyfill: WKB geometry -> covering H3 cells, with containment modes.
+
+Reproduces h3ronpy's `wkb_to_cells` / `geometry_to_cells` semantics
+(SURVEY.md §2.6 ops 35-37; reference h3ronpy/src/vector.rs:352-425,
+crates/h3arrow/src/array/from_geo.rs:306-404):
+
+  * ContainsCentroid (default): cells whose centroid is inside the polygon
+  * ContainsBoundary: cells fully contained in the polygon
+  * IntersectsBoundary: cells overlapping the polygon in any way
+  * Covers: cells such that their union covers the geometry (intersecting
+    cells, including boundary-touch)
+
+Points map to their containing cell, linestrings are traced by dense
+sampling plus gap-free dedupe, multis/collections recurse, empty -> empty.
+Output per geometry is a sorted, deduped cell list; optional `compact`.
+
+Algorithm: candidate cells = encodings of a sub-cell-spaced lat/lng sample
+grid over the polygon bbox, dilated by one neighbor ring; candidates are
+then classified by point-in-polygon tests of their centroid and boundary
+vertices plus segment-intersection tests.  All numpy-vectorized across
+candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import index as IDX
+from .boundary import cell_boundary
+from .grid import neighbors
+from .latlng import cell_to_latlng, latlng_to_cell
+from .wkb import parse_wkb
+
+MODE_CENTROID = "containscentroid"
+MODE_CONTAINS = "containsboundary"
+MODE_INTERSECTS = "intersectsboundary"
+MODE_COVERS = "covers"
+
+_MODES = {MODE_CENTROID, MODE_CONTAINS, MODE_INTERSECTS, MODE_COVERS}
+
+# average hexagon edge length (degrees of arc) per res, derived from the
+# grid itself: res-0 lattice unit is atan(RES0_U_GNOMONIC*...) ~ spacing /
+# sqrt(7)^res.  Used only for sampling density, so approximate is fine.
+_EDGE_DEG = 24.0 / (7.0 ** (np.arange(16) / 2.0))
+
+
+def _pip(plng: np.ndarray, plat: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd point-in-polygon over all rings (holes included by parity).
+
+    Operates on plain lng/lat planar coordinates (matching the reference's
+    planar geo-types polyfill)."""
+    inside = np.zeros(plng.shape, dtype=bool)
+    for ring in rings:
+        x = ring[:, 0]
+        y = ring[:, 1]
+        x0, y0 = x[:-1], y[:-1]
+        x1, y1 = x[1:], y[1:]
+        # vectorized over (points, edges)
+        px = plng[:, None]
+        py = plat[:, None]
+        cond = (y0 > py) != (y1 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+        cross = cond & (px < xint)
+        inside ^= (cross.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+def _seg_intersect(a0, a1, b0, b1) -> np.ndarray:
+    """Proper segment intersection test, vectorized: a* (N,2) vs b* (M,2)
+    -> (N, M) bool."""
+
+    def cross(o, d, p):
+        return d[..., 0] * (p[..., 1] - o[..., 1]) - d[..., 1] * (
+            p[..., 0] - o[..., 0]
+        )
+
+    da = a1 - a0  # (N,2)
+    db = b1 - b0  # (M,2)
+    o = a0[:, None, :]
+    d = da[:, None, :]
+    s1 = cross(o, d, b0[None, :, :])
+    s2 = cross(o, d, b1[None, :, :])
+    o2 = b0[None, :, :]
+    d2 = db[None, :, :]
+    s3 = cross(o2, d2, a0[:, None, :])
+    s4 = cross(o2, d2, a1[:, None, :])
+    return (s1 * s2 < 0) & (s3 * s4 < 0)
+
+
+def _candidate_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
+    """Cells plausibly touching the polygon: sample grid over bbox at
+    sub-cell spacing, encode, dilate one ring."""
+    allv = np.vstack(rings)
+    minx, miny = allv.min(axis=0)
+    maxx, maxy = allv.max(axis=0)
+    step = _EDGE_DEG[res] * 0.8
+    # clamp the grid size to something sane; caller controls res choice
+    nx = min(int((maxx - minx) / step) + 2, 4096)
+    ny = min(int((maxy - miny) / step) + 2, 4096)
+    gx = np.linspace(minx, maxx, nx)
+    gy = np.linspace(miny, maxy, ny)
+    mx, my = np.meshgrid(gx, gy)
+    cells = latlng_to_cell(
+        np.radians(my.ravel()), np.radians(mx.ravel()), res
+    )
+    cells = np.unique(cells[cells != -1])
+    if cells.size == 0:
+        return cells
+    _, nb = neighbors(cells)
+    return np.unique(np.concatenate([cells, nb]))
+
+
+def polygon_to_cells(
+    rings: list[np.ndarray], res: int, mode: str = MODE_CENTROID
+) -> np.ndarray:
+    """One polygon (list of (N,2) lnglat rings, first outer) -> sorted cells."""
+    mode = mode.lower().replace("_", "")
+    if mode not in _MODES:
+        raise ValueError(f"unknown containment mode {mode!r}")
+    # ensure closed rings
+    rings = [
+        r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+        for r in rings
+    ]
+    cand = _candidate_cells(rings, res)
+    if cand.size == 0:
+        return cand
+
+    clat, clng = cell_to_latlng(cand)
+    cen_in = _pip(np.degrees(clng), np.degrees(clat), rings)
+    if mode == MODE_CENTROID:
+        return np.sort(cand[cen_in])
+
+    blat, blng, counts = cell_boundary(cand)
+    blatd, blngd = np.degrees(blat), np.degrees(blng)
+    n = cand.size
+    flat = blngd.ravel()
+    flaty = blatd.ravel()
+    fin = np.isfinite(flat)
+    vin = np.zeros(flat.shape, dtype=bool)
+    vin[fin] = _pip(flat[fin], flaty[fin], rings)
+    vin = vin.reshape(blngd.shape)
+    maxv = blngd.shape[1]
+    in_range = np.arange(maxv) < counts[:, None]
+    all_in = (vin | ~in_range).all(axis=1)
+    any_in = (vin & in_range).any(axis=1)
+
+    # cell edges vs ring edges crossing test
+    ring_edges0 = np.vstack([r[:-1] for r in rings])
+    ring_edges1 = np.vstack([r[1:] for r in rings])
+    cell_e0x, cell_e0y, cell_e1x, cell_e1y = [], [], [], []
+    rows = []
+    for v in range(maxv):
+        act = np.nonzero(v < counts)[0]
+        nxt = np.where(v + 1 < counts[act], v + 1, 0)
+        cell_e0x.append(blngd[act, v])
+        cell_e0y.append(blatd[act, v])
+        cell_e1x.append(blngd[act, nxt])
+        cell_e1y.append(blatd[act, nxt])
+        rows.append(act)
+    e0 = np.stack([np.concatenate(cell_e0x), np.concatenate(cell_e0y)], axis=-1)
+    e1 = np.stack([np.concatenate(cell_e1x), np.concatenate(cell_e1y)], axis=-1)
+    erows = np.concatenate(rows)
+    crosses_edge = _seg_intersect(e0, e1, ring_edges0, ring_edges1).any(axis=1)
+    cell_crossed = np.zeros(n, dtype=bool)
+    np.logical_or.at(cell_crossed, erows, crosses_edge)
+
+    if mode == MODE_CONTAINS:
+        return np.sort(cand[cen_in & all_in & ~cell_crossed])
+
+    # intersects / covers: any overlap; include cells containing a polygon
+    # vertex (handles polygons smaller than a cell)
+    vx = np.vstack(rings)
+    vcells = latlng_to_cell(np.radians(vx[:, 1]), np.radians(vx[:, 0]), res)
+    has_vert = np.isin(cand, vcells[vcells != -1])
+    out = cen_in | any_in | cell_crossed | has_vert
+    return np.sort(cand[out])
+
+
+def line_to_cells(coords: np.ndarray, res: int) -> np.ndarray:
+    """LineString trace: dense sampling at ~1/4 cell spacing."""
+    cells = []
+    step = _EDGE_DEG[res] * 0.25
+    for i in range(len(coords) - 1):
+        p0, p1 = coords[i], coords[i + 1]
+        d = float(np.hypot(*(p1 - p0)))
+        k = max(int(d / step) + 1, 2)
+        t = np.linspace(0.0, 1.0, k)
+        xs = p0[0] + t * (p1[0] - p0[0])
+        ys = p0[1] + t * (p1[1] - p0[1])
+        cells.append(latlng_to_cell(np.radians(ys), np.radians(xs), res))
+    if not cells:
+        return np.array([], dtype=np.int64)
+    c = np.concatenate(cells)
+    return np.unique(c[c != -1])
+
+
+def wkb_to_cells(
+    buf: bytes | None,
+    res: int,
+    containment_mode: str = MODE_CENTROID,
+    compact: bool = False,
+) -> np.ndarray:
+    """One WKB blob -> sorted deduped cells (empty array for empty/null)."""
+    if buf is None:
+        return np.array([], dtype=np.int64)
+    g = parse_wkb(bytes(buf))
+    parts = []
+    if g["points"] is not None and len(g["points"]):
+        p = g["points"]
+        parts.append(latlng_to_cell(np.radians(p[:, 1]), np.radians(p[:, 0]), res))
+    if g["lines"]:
+        for line in g["lines"]:
+            parts.append(line_to_cells(line, res))
+    if g["polys"]:
+        for rings in g["polys"]:
+            parts.append(polygon_to_cells(rings, res, containment_mode))
+    if not parts:
+        return np.array([], dtype=np.int64)
+    cells = np.concatenate(parts)
+    cells = np.unique(cells[cells != -1])
+    if compact:
+        cells = IDX.compact(cells)
+    return cells
