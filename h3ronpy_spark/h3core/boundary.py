@@ -111,8 +111,6 @@ def cell_boundary(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     # slower path with insertions (rare: only cells straddling icosa edges)
     if any_cross.any():
-        from .tables import fijk_to_geo_raw  # noqa: F401
-
         idx = np.nonzero(any_cross)[0]
         verts_flat = verts.reshape(n, 6, 3)
         for ii in idx:

@@ -1,0 +1,165 @@
+"""Raster <-> H3 conversion kernels.
+
+Reproduces h3ronpy's raster surface (SURVEY.md §2.7 ops 38-40; reference
+h3ronpy/python/h3ronpy/raster.py:63-213, h3ronpy/src/raster.rs):
+
+  * nearest_h3_resolution: resolution whose cell area best matches the
+    pixel area ("min_diff") or the finest with cells >= pixel
+    ("smaller_than_pixel")
+  * raster_to_cells: for every H3 cell whose centroid lands in a
+    non-nodata pixel, emit (value, cell)
+  * cells_to_raster: inverse — paint each output pixel with the value of
+    the cell containing the pixel's center (same center-point semantics
+    the reference gets from rasterio's polygon burn)
+
+Transforms are 6-coefficient GDAL geotransforms (a, b, c, d, e, f):
+  lng = a * col + b * row + c ; lat = d * col + e * row + f
+with WGS84 coordinates enforced by a bounds sanity check (reference
+h3ronpy/src/raster.rs:45-67).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .boundary import cell_area_km2
+from .constants import EARTH_RADIUS_KM
+from .grid import neighbors
+from .latlng import cell_to_latlng, latlng_to_cell
+
+# average cell area (km^2) per res: sphere area / cell count
+_NCELLS = 2 + 120 * 7 ** np.arange(0, 16, dtype=np.float64)
+AVG_CELL_AREA_KM2 = 4.0 * np.pi * EARTH_RADIUS_KM**2 / _NCELLS
+
+
+def check_wgs84_bounds(transform, w: int, h: int) -> None:
+    a, b, c, d, e, f = transform
+    xs = [c, a * w + b * h + c]
+    ys = [f, d * w + e * h + f]
+    if abs(xs[1] - xs[0]) > 361.0 or abs(ys[1] - ys[0]) > 181.0:
+        raise ValueError(
+            "raster bounds exceed WGS84 coordinate range - coordinates "
+            "must be in degrees"
+        )
+
+
+def nearest_h3_resolution(
+    shape: tuple[int, int],
+    transform,
+    axis_order: str = "yx",
+    search_mode: str = "min_diff",
+) -> int:
+    """Resolution whose cells best match the raster's pixel size."""
+    if axis_order.lower() == "yx":
+        h, w = shape
+    else:
+        w, h = shape
+    check_wgs84_bounds(transform, w, h)
+    a, b, c, d, e, f = transform
+    # pixel area in km^2 at the raster center (cos-lat corrected)
+    lat_c = d * (w / 2) + e * (h / 2) + f
+    deg_km = 2.0 * np.pi * EARTH_RADIUS_KM / 360.0
+    px_w = abs(a) * deg_km * np.cos(np.radians(lat_c))
+    px_h = abs(e) * deg_km
+    px_area = px_w * px_h
+    if px_area <= 0:
+        raise ValueError("degenerate transform")
+    if search_mode == "min_diff":
+        return int(np.argmin(np.abs(AVG_CELL_AREA_KM2 - px_area)))
+    if search_mode == "smaller_than_pixel":
+        ok = np.nonzero(AVG_CELL_AREA_KM2 <= px_area)[0]
+        return int(ok[0]) if ok.size else 15
+    raise ValueError(f"unknown search_mode {search_mode!r}")
+
+
+def raster_to_cells(
+    band: np.ndarray,
+    transform,
+    h3_res: int,
+    nodata_value=None,
+    axis_order: str = "yx",
+) -> tuple[np.ndarray, np.ndarray]:
+    """2-D array -> (values, cells): one row per H3 cell whose centroid
+    falls in a non-nodata pixel."""
+    band = np.asarray(band)
+    if axis_order.lower() == "xy":
+        band = band.T
+    h, w = band.shape
+    check_wgs84_bounds(transform, w, h)
+    a, b, c, d, e, f = (float(t) for t in transform)
+
+    # candidate cells: encode a pixel-center sample grid (stride chosen so
+    # every cell whose centroid is inside the raster is sampled), dilate by
+    # one ring, then exact centroid -> pixel test
+    deg_cell = 24.0 / (7.0 ** (h3_res / 2.0))  # ~cell spacing in degrees
+    px_deg = min(abs(a), abs(e)) or 1e-12
+    stride = max(int(deg_cell / px_deg / 2.0), 1)
+    cols = np.arange(0, w, stride, dtype=np.float64) + 0.5
+    rows = np.arange(0, h, stride, dtype=np.float64) + 0.5
+    cc, rr = np.meshgrid(cols, rows)
+    lng = a * cc + b * rr + c
+    lat = d * cc + e * rr + f
+    cand = latlng_to_cell(np.radians(lat.ravel()), np.radians(lng.ravel()), h3_res)
+    cand = np.unique(cand[cand != -1])
+    if cand.size:
+        _, nb = neighbors(cand)
+        cand = np.unique(np.concatenate([cand, nb]))
+
+    clat, clng = cell_to_latlng(cand)
+    clatd, clngd = np.degrees(clat), np.degrees(clng)
+    # invert the affine: col = (e*(x-c) - b*(y-f)) / (a*e - b*d)
+    det = a * e - b * d
+    col = (e * (clngd - c) - b * (clatd - f)) / det
+    row = (a * (clatd - f) - d * (clngd - c)) / det
+    ci = np.floor(col).astype(np.int64)
+    ri = np.floor(row).astype(np.int64)
+    inb = (ci >= 0) & (ci < w) & (ri >= 0) & (ri < h)
+    cand, ci, ri = cand[inb], ci[inb], ri[inb]
+    vals = band[ri, ci]
+    if nodata_value is not None:
+        if isinstance(nodata_value, float) and np.isnan(nodata_value):
+            keep = ~np.isnan(vals)
+        else:
+            keep = vals != nodata_value
+        cand, vals = cand[keep], vals[keep]
+    return vals, cand
+
+
+def cells_to_raster(
+    cells: np.ndarray,
+    values: np.ndarray,
+    size: tuple[int, int],
+    transform,
+    nodata_value=0,
+) -> np.ndarray:
+    """Inverse: paint each pixel with the value of the cell containing its
+    center; mixed input resolutions resolved finest-first."""
+    from . import index as IDX
+
+    cells = np.asarray(cells, dtype=np.int64)
+    values = np.asarray(values)
+    w, h = size
+    a, b, c, d, e, f = (float(t) for t in transform)
+    cc, rr = np.meshgrid(
+        np.arange(w, dtype=np.float64) + 0.5, np.arange(h, dtype=np.float64) + 0.5
+    )
+    lng = a * cc + b * rr + c
+    lat = d * cc + e * rr + f
+    out = np.full((h, w), nodata_value, dtype=values.dtype)
+    filled = np.zeros((h, w), dtype=bool)
+    res_all = IDX.get_resolution(cells)
+    for rv in sorted(np.unique(res_all).tolist(), reverse=True):
+        m = res_all == rv
+        sub_cells = cells[m]
+        sub_vals = values[m]
+        order = np.argsort(sub_cells)
+        sub_cells, sub_vals = sub_cells[order], sub_vals[order]
+        px = latlng_to_cell(
+            np.radians(lat.ravel()), np.radians(lng.ravel()), int(rv)
+        ).reshape(h, w)
+        pos = np.searchsorted(sub_cells, px)
+        pos = np.clip(pos, 0, sub_cells.size - 1)
+        hit = (sub_cells[pos] == px) & ~filled
+        out[hit] = sub_vals[pos[hit]]
+        filled |= hit
+    return out
