@@ -303,6 +303,23 @@ def wkb_to_cells(wkb: pd.Series, res: pd.Series, mode: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(T.ArrayType(T.LongType()))
+def wkb_to_cells_compact(wkb: pd.Series, res: pd.Series, mode: pd.Series) -> pd.Series:
+    """Hierarchical polyfill -> mixed-resolution compact coverage (op 35
+    with compact=True).  Cost scales with polygon perimeter, not area —
+    the variant the PIP join planner uses at scale."""
+    from h3ronpy_spark.h3core.polyfill import wkb_to_cells as pf
+
+    rr = res.fillna(-1).astype(np.int64)
+    out = []
+    for buf, r, m in zip(wkb, rr, mode):
+        if buf is None or r < 0:
+            out.append(None)
+        else:
+            out.append(pf(bytes(buf), int(r), str(m), compact=True).tolist())
+    return pd.Series(out)
+
+
 @pandas_udf(
     T.StructType(
         [
@@ -351,6 +368,7 @@ _SQL_FUNCS = {
     "h3_cells_to_wkb_points": cells_to_wkb_points,
     "h3_cells_parse": cells_parse,
     "h3_wkb_to_cells": wkb_to_cells,
+    "h3_wkb_to_cells_compact": wkb_to_cells_compact,
     "h3_cells_to_localij": cells_to_localij,
     "h3_localij_to_cells": localij_to_cells,
 }

@@ -27,7 +27,6 @@ import numpy as np
 
 from . import index as IDX
 from .boundary import cell_boundary
-from .grid import neighbors
 from .latlng import cell_to_latlng, latlng_to_cell
 from .wkb import parse_wkb
 
@@ -89,48 +88,36 @@ def _seg_intersect(a0, a1, b0, b1) -> np.ndarray:
 
 
 def _candidate_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
-    """Cells plausibly touching the polygon: sample grid over bbox at
-    sub-cell spacing, encode, dilate one ring."""
+    """Cells plausibly touching the polygon: dense sample grid over the
+    bbox dilated by one cell size (spacing ~1/3 cell => every cell whose
+    centroid lies in the dilated bbox is sampled — no neighbor dilation
+    pass needed)."""
     allv = np.vstack(rings)
     minx, miny = allv.min(axis=0)
     maxx, maxy = allv.max(axis=0)
-    step = _EDGE_DEG[res] * 0.8
-    # clamp the grid size to something sane; caller controls res choice
+    cd = _EDGE_DEG[res]
+    minx, miny, maxx, maxy = minx - cd, miny - cd, maxx + cd, maxy + cd
+    step = cd * 0.35
     nx = min(int((maxx - minx) / step) + 2, 4096)
     ny = min(int((maxy - miny) / step) + 2, 4096)
     gx = np.linspace(minx, maxx, nx)
-    gy = np.linspace(miny, maxy, ny)
+    gy = np.linspace(miny, np.minimum(maxy, 89.999), ny)
     mx, my = np.meshgrid(gx, gy)
     cells = latlng_to_cell(
         np.radians(my.ravel()), np.radians(mx.ravel()), res
     )
-    cells = np.unique(cells[cells != -1])
-    if cells.size == 0:
-        return cells
-    _, nb = neighbors(cells)
-    return np.unique(np.concatenate([cells, nb]))
+    return np.unique(cells[cells != -1])
 
 
-def polygon_to_cells(
-    rings: list[np.ndarray], res: int, mode: str = MODE_CENTROID
-) -> np.ndarray:
-    """One polygon (list of (N,2) lnglat rings, first outer) -> sorted cells."""
-    mode = mode.lower().replace("_", "")
-    if mode not in _MODES:
-        raise ValueError(f"unknown containment mode {mode!r}")
-    # ensure closed rings
-    rings = [
-        r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
-        for r in rings
-    ]
-    cand = _candidate_cells(rings, res)
-    if cand.size == 0:
-        return cand
+def _classify_cells(cand: np.ndarray, rings: list[np.ndarray], res: int):
+    """Per-candidate geometry predicates vs the polygon.
 
+    Returns (cen_in, full, intersects): centroid-inside; fully-inside
+    (all boundary verts in, no edge crossing, no polygon vertex inside the
+    cell — the last also handles holes/islands smaller than a cell);
+    any-overlap."""
     clat, clng = cell_to_latlng(cand)
     cen_in = _pip(np.degrees(clng), np.degrees(clat), rings)
-    if mode == MODE_CENTROID:
-        return np.sort(cand[cen_in])
 
     blat, blng, counts = cell_boundary(cand)
     blatd, blngd = np.degrees(blat), np.degrees(blng)
@@ -146,7 +133,6 @@ def polygon_to_cells(
     all_in = (vin | ~in_range).all(axis=1)
     any_in = (vin & in_range).any(axis=1)
 
-    # cell edges vs ring edges crossing test
     ring_edges0 = np.vstack([r[:-1] for r in rings])
     ring_edges1 = np.vstack([r[1:] for r in rings])
     cell_e0x, cell_e0y, cell_e1x, cell_e1y = [], [], [], []
@@ -163,19 +149,114 @@ def polygon_to_cells(
     e1 = np.stack([np.concatenate(cell_e1x), np.concatenate(cell_e1y)], axis=-1)
     erows = np.concatenate(rows)
     crosses_edge = _seg_intersect(e0, e1, ring_edges0, ring_edges1).any(axis=1)
-    cell_crossed = np.zeros(n, dtype=bool)
-    np.logical_or.at(cell_crossed, erows, crosses_edge)
+    crossed = np.zeros(n, dtype=bool)
+    np.logical_or.at(crossed, erows, crosses_edge)
 
-    if mode == MODE_CONTAINS:
-        return np.sort(cand[cen_in & all_in & ~cell_crossed])
-
-    # intersects / covers: any overlap; include cells containing a polygon
-    # vertex (handles polygons smaller than a cell)
     vx = np.vstack(rings)
     vcells = latlng_to_cell(np.radians(vx[:, 1]), np.radians(vx[:, 0]), res)
     has_vert = np.isin(cand, vcells[vcells != -1])
-    out = cen_in | any_in | cell_crossed | has_vert
-    return np.sort(cand[out])
+
+    full = cen_in & all_in & ~crossed & ~has_vert
+    intersects = cen_in | any_in | crossed | has_vert
+    return cen_in, full, intersects
+
+
+def _close_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    return [
+        r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+        for r in rings
+    ]
+
+
+def _est_cells(rings: list[np.ndarray], res: int) -> float:
+    allv = np.vstack(rings)
+    minx, miny = allv.min(axis=0)
+    maxx, maxy = allv.max(axis=0)
+    return ((maxx - minx) / _EDGE_DEG[res] + 1) * ((maxy - miny) / _EDGE_DEG[res] + 1)
+
+
+_DIRECT_BUDGET = 16384
+
+
+def polygon_to_cells(
+    rings: list[np.ndarray], res: int, mode: str = MODE_CENTROID
+) -> np.ndarray:
+    """One polygon (list of (N,2) lnglat rings, first outer) -> sorted cells
+    at `res`.  Large polygons route through the hierarchical compact fill
+    and are uncompacted (guarded)."""
+    mode = mode.lower().replace("_", "")
+    if mode not in _MODES:
+        raise ValueError(f"unknown containment mode {mode!r}")
+    rings = _close_rings(rings)
+    if _est_cells(rings, res) > _DIRECT_BUDGET:
+        comp = polygon_to_cells_compact(rings, res, mode)
+        if comp.size and IDX.children_count(comp, res).sum() > 50_000_000:
+            raise ValueError(
+                "polyfill would produce >50M cells; use the compact variant"
+            )
+        _, cells = IDX.uncompact(comp, res)
+        return np.sort(cells)
+
+    cand = _candidate_cells(rings, res)
+    if cand.size == 0:
+        return cand
+    cen_in, full, intersects = _classify_cells(cand, rings, res)
+    if mode == MODE_CENTROID:
+        return np.sort(cand[cen_in])
+    if mode == MODE_CONTAINS:
+        return np.sort(cand[full])
+    return np.sort(cand[intersects])
+
+
+def polygon_to_cells_compact(
+    rings: list[np.ndarray], res: int, mode: str = MODE_CENTROID,
+    budget: int = 4096,
+) -> np.ndarray:
+    """Hierarchical polyfill -> mixed-resolution (compacted) coverage.
+
+    Starts at the finest resolution whose bbox estimate fits `budget`,
+    classifies candidates into fully-inside (emitted as-is: every
+    descendant is covered) and boundary-partial (children re-tested one
+    resolution finer), down to `res` where the leaf partials are resolved
+    per containment mode.  Cost scales with the polygon *perimeter* at
+    `res`, not its area — the property that keeps country-size polygons at
+    res 9+ tractable (SURVEY.md §4.2 item 3)."""
+    mode = mode.lower().replace("_", "")
+    rings = _close_rings(rings)
+    r0 = res
+    while r0 > 0 and _est_cells(rings, r0) > budget:
+        r0 -= 1
+    cand = _candidate_cells(rings, r0)
+    if cand.size == 0:
+        return cand
+    out_full = []
+    cen_in, full, inter = _classify_cells(cand, rings, r0)
+    if r0 == res:
+        if mode == MODE_CENTROID:
+            return np.sort(cand[cen_in])
+        if mode == MODE_CONTAINS:
+            return np.sort(cand[full])
+        return np.sort(cand[inter])
+    out_full.append(cand[full])
+    partial = cand[inter & ~full]
+    for r in range(r0 + 1, res + 1):
+        if partial.size == 0:
+            break
+        _, kids = IDX.cell_to_children_flat(partial, r)
+        cen_in, full, inter = _classify_cells(kids, rings, r)
+        if r == res:
+            if mode == MODE_CENTROID:
+                out_full.append(kids[cen_in])
+            elif mode == MODE_CONTAINS:
+                out_full.append(kids[full])
+            else:
+                out_full.append(kids[inter])
+            partial = kids[:0]
+        else:
+            out_full.append(kids[full])
+            partial = kids[inter & ~full]
+    cells = np.concatenate(out_full) if out_full else cand[:0]
+    return IDX.compact(np.unique(cells))
 
 
 def line_to_cells(coords: np.ndarray, res: int) -> np.ndarray:
@@ -215,7 +296,12 @@ def wkb_to_cells(
             parts.append(line_to_cells(line, res))
     if g["polys"]:
         for rings in g["polys"]:
-            parts.append(polygon_to_cells(rings, res, containment_mode))
+            if compact:
+                parts.append(
+                    polygon_to_cells_compact(rings, res, containment_mode)
+                )
+            else:
+                parts.append(polygon_to_cells(rings, res, containment_mode))
     if not parts:
         return np.array([], dtype=np.int64)
     cells = np.concatenate(parts)

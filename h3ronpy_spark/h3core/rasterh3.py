@@ -24,7 +24,6 @@ import numpy as np
 
 from .boundary import cell_area_km2
 from .constants import EARTH_RADIUS_KM
-from .grid import neighbors
 from .latlng import cell_to_latlng, latlng_to_cell
 
 # average cell area (km^2) per res: sphere area / cell count
@@ -88,22 +87,19 @@ def raster_to_cells(
     check_wgs84_bounds(transform, w, h)
     a, b, c, d, e, f = (float(t) for t in transform)
 
-    # candidate cells: encode a pixel-center sample grid (stride chosen so
-    # every cell whose centroid is inside the raster is sampled), dilate by
-    # one ring, then exact centroid -> pixel test
+    # candidate cells: dense sample grid at ~1/3 cell spacing over the
+    # raster extent (every cell whose centroid is inside gets sampled;
+    # no neighbor-dilation pass), then exact centroid -> pixel test
     deg_cell = 24.0 / (7.0 ** (h3_res / 2.0))  # ~cell spacing in degrees
     px_deg = min(abs(a), abs(e)) or 1e-12
-    stride = max(int(deg_cell / px_deg / 2.0), 1)
-    cols = np.arange(0, w, stride, dtype=np.float64) + 0.5
-    rows = np.arange(0, h, stride, dtype=np.float64) + 0.5
+    step_px = max(deg_cell / px_deg * 0.3, 1.0)
+    cols = np.arange(0, w + step_px, step_px, dtype=np.float64)
+    rows = np.arange(0, h + step_px, step_px, dtype=np.float64)
     cc, rr = np.meshgrid(cols, rows)
     lng = a * cc + b * rr + c
     lat = d * cc + e * rr + f
     cand = latlng_to_cell(np.radians(lat.ravel()), np.radians(lng.ravel()), h3_res)
     cand = np.unique(cand[cand != -1])
-    if cand.size:
-        _, nb = neighbors(cand)
-        cand = np.unique(np.concatenate([cand, nb]))
 
     clat, clng = cell_to_latlng(cand)
     clatd, clngd = np.degrees(clat), np.degrees(clng)

@@ -1,0 +1,147 @@
+"""The spatial hash join: H3 cell as the join key.
+
+This replaces the reference's in-process R-tree spatial index
+(crates/h3arrow/src/spatial_index.rs, SURVEY.md §2.10): instead of a tree,
+the H3 grid itself is the index — polygons are polyfilled to a *compact*
+(mixed-resolution) coverage, the point/tile side joins via its ancestor
+cell at each coverage resolution, and a plain equi-join does the
+point-in-polygon assignment.  Catalyst gives hash/broadcast join, partial
+aggregation, and AQE skew splitting for free.
+
+Why compact + parent-prefix instead of exploding polygons at the target
+resolution: a country polygon at res 9 is millions of cells (O(area)), but
+its compact coverage is O(perimeter) — thousands.  The big side derives
+ancestors with pure int64 bit math (codegen'd, no Python), so the join
+stays a cheap broadcast even for continent-scale polygons.
+
+Strategy chooser (SURVEY.md §4.2 custom item 1):
+  * coverage fits the broadcast budget -> F.broadcast: zero shuffle of the
+    big side — the plan every 100-TB run wants
+  * otherwise -> shuffle hash join on the prefix key, with optional key
+    salting for skewed dense regions on top of AQE skew handling
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import functions as H
+
+
+def polyfill_polygons(
+    polygons: DataFrame,
+    res: int,
+    mode: str = "containscentroid",
+    wkb_col: str = "wkb",
+    compact: bool = True,
+) -> DataFrame:
+    """polygons -> one row per covering cell (all other columns kept).
+
+    Equivalent of the reference's geodataframe_to_cells explode
+    (h3ronpy/python/h3ronpy/pandas/vector.py:74-109): wkb_to_cells kernel +
+    native explode.  With compact=True the coverage is mixed-resolution
+    (O(perimeter) rows)."""
+    fn = H.wkb_to_cells_compact if compact else H.wkb_to_cells
+    # spread the per-polygon polyfill work across cores: the polygon table
+    # is small but each row is CPU-heavy
+    spark = polygons.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    return polygons.repartition(par).withColumn(
+        "cell",
+        F.explode(fn(F.col(wkb_col), F.lit(res), F.lit(mode))),
+    ).drop(wkb_col)
+
+
+def pip_join(
+    left_cells: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    mode: str = "containscentroid",
+    cell_col: str = "cell",
+    broadcast_threshold_rows: int = 2_000_000,
+    salt: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Assign polygon attributes to rows of `left_cells` (which must carry
+    an H3 cell column at resolution `res`).
+
+    The polygon side becomes a compact coverage; the left side joins via
+    its ancestor at each resolution present in the coverage (ancestor =
+    pure bit math -> stays in whole-stage codegen)."""
+    cov = polyfill_polygons(polygons, res, mode, compact=True).withColumnRenamed(
+        "cell", "__poly_cell"
+    )
+    cov = cov.persist()
+    n_cov = cov.count()
+    res_list = sorted(
+        r[0]
+        for r in cov.select(
+            H.cells_resolution(F.col("__poly_cell")).alias("r")
+        )
+        .distinct()
+        .collect()
+    )
+    if not res_list:
+        cov.unpersist()
+        return left_cells.join(
+            polygons.drop("wkb").limit(0), F.lit(False), how
+        )
+
+    # left side: ancestor cell at every coverage resolution (bit math);
+    # explode drops the NULLs (res finer than the row's own cell res)
+    prefixed = left_cells.withColumn(
+        "__pref",
+        F.explode(
+            F.array(
+                *[
+                    H.change_resolution_parent(F.col(cell_col), r)
+                    for r in res_list
+                ]
+            )
+        ),
+    ).filter(F.col("__pref").isNotNull())
+
+    if n_cov <= broadcast_threshold_rows:
+        out = prefixed.join(
+            F.broadcast(cov), prefixed["__pref"] == cov["__poly_cell"], how
+        )
+        return out.drop("__pref", "__poly_cell")
+
+    if salt and salt > 1:
+        salted_cov = cov.withColumn(
+            "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+        )
+        salted_left = prefixed.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(cell_col), F.lit(salt)).cast("int"),
+        )
+        out = salted_left.join(
+            salted_cov,
+            (salted_left["__pref"] == salted_cov["__poly_cell"])
+            & (salted_left["__salt"] == salted_cov["__salt"]),
+            how,
+        )
+        return out.drop("__pref", "__poly_cell", "__salt")
+
+    return prefixed.join(
+        cov, prefixed["__pref"] == cov["__poly_cell"], how
+    ).drop("__pref", "__poly_cell")
+
+
+def grid_disk_aggregate_k(
+    cells: DataFrame, k: int, agg: str = "min", cell_col: str = "cell"
+) -> DataFrame:
+    """SURVEY.md §2.5 op 26 as a *native* Spark aggregation: explode each
+    input cell's k-disk (with distances), then groupBy(cell).min/max(k).
+    The reference does this in a single-threaded HashMap; here it is a
+    partial+final hash aggregate."""
+    if agg not in ("min", "max"):
+        raise ValueError("agg must be min or max")
+    exploded = cells.select(
+        F.explode(
+            H.grid_disk_distances(F.col(cell_col), F.lit(k))
+        ).alias("dk")
+    ).select(F.col("dk.cell").alias("cell"), F.col("dk.k").alias("k"))
+    fn = F.min if agg == "min" else F.max
+    return exploded.groupBy("cell").agg(fn("k").alias("k"))

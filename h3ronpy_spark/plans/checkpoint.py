@@ -1,0 +1,124 @@
+"""Per-partition checkpointing with lineage metadata + resume.
+
+North-rule requirement: "checkpoints per-partition progress with lineage
+metadata (source snapshot-id, partition range, cell-resolution) so any
+executor failure resumes without recompute, emits per-partition
+throughput/skew metrics".
+
+Design (works the same over Iceberg snapshots on a real cluster — here the
+"snapshot id" is the deterministic generation seed + row-count):
+
+  * the source is processed in SHARDS (contiguous id ranges); each shard is
+    one Spark job writing one output subdirectory
+  * after a shard commits, one manifest row is appended (atomic file
+    write): shard id, id range, snapshot id, cell resolution, row counts,
+    wall seconds, rows/sec, and per-partition row-count skew stats
+  * resume = read manifest, skip completed shards (anti-join on shard_id);
+    a killed run restarts mid-list with zero recompute of finished shards
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_manifest"
+
+
+def _manifest_dir(base: str) -> str:
+    return os.path.join(base, MANIFEST_NAME)
+
+
+def completed_shards(spark: SparkSession, base: str) -> set[int]:
+    mdir = _manifest_dir(base)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                done.add(json.load(fh)["shard_id"])
+    return done
+
+
+def read_manifest(spark: SparkSession, base: str) -> DataFrame:
+    mdir = _manifest_dir(base)
+    rows = []
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    rows.append(json.load(fh))
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "shard_id int, id_start long, id_end long, snapshot_id string, "
+            "cell_res int, rows long, seconds double, rows_per_sec double, "
+            "skew_max_over_mean double",
+        )
+    return spark.createDataFrame(rows)
+
+
+def run_sharded(
+    spark: SparkSession,
+    base: str,
+    n_rows: int,
+    n_shards: int,
+    cell_res: int,
+    shard_fn: Callable[[SparkSession, int, int, int], DataFrame],
+    snapshot_id: str | None = None,
+) -> str:
+    """Process id range [0, n_rows) in `n_shards` shards with resume.
+
+    shard_fn(spark, shard_id, id_start, id_end) -> output DataFrame; output
+    is written to <base>/shard=<id>/ as parquet.  Returns `base`."""
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    snapshot_id = snapshot_id or f"synth-seed42-n{n_rows}"
+    done = completed_shards(spark, base)
+    per = (n_rows + n_shards - 1) // n_shards
+    for sid in range(n_shards):
+        if sid in done:
+            continue
+        lo, hi = sid * per, min((sid + 1) * per, n_rows)
+        t0 = time.time()
+        out = shard_fn(spark, sid, lo, hi)
+        # per-partition row counts for the skew metric (one extra cheap agg)
+        pc = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(
+                F.sum("count").alias("rows"),
+                F.max("count").alias("mx"),
+                F.avg("count").alias("mean"),
+            )
+            .first()
+        )
+        out.write.mode("overwrite").parquet(os.path.join(base, f"shard={sid}"))
+        secs = time.time() - t0
+        rows = int(pc["rows"] or 0)
+        row = {
+            "shard_id": sid,
+            "id_start": lo,
+            "id_end": hi,
+            "snapshot_id": snapshot_id,
+            "cell_res": cell_res,
+            "rows": rows,
+            "seconds": round(secs, 3),
+            "rows_per_sec": round(rows / secs, 1) if secs > 0 else 0.0,
+            "skew_max_over_mean": round(
+                float(pc["mx"]) / float(pc["mean"]), 3
+            )
+            if pc["mean"]
+            else 0.0,
+        }
+        tmp = os.path.join(_manifest_dir(base), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(row, fh)
+        os.replace(tmp, os.path.join(_manifest_dir(base), f"shard-{sid:05d}.json"))
+    return base

@@ -1,0 +1,49 @@
+"""The flagship pipeline (SURVEY.md §7 Phase 2).
+
+decode images -> georeference -> tile to H3 cells (raster_to_dataframe
+semantics) -> polyfill a polygon set -> PIP join captions to polygons on
+the cell key -> per-polygon rollup.
+
+Touches every layer: encode kernel, raster tiling, polyfill, explode,
+broadcast-vs-shuffle join, hash aggregation.  This is `entry(spark)` and
+the bench job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.spatial_join import pip_join
+from ..operators.tiling import tile_images
+from ..sources.images import synth_images
+from ..sources.polygons import synth_polygons
+
+
+def flagship(
+    spark: SparkSession,
+    n_images: int,
+    n_polygons: int = 40,
+    res: int = 9,
+    seed: int = 42,
+    salt: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Returns per-polygon rollup: poly_id, n_tiles, n_images, sum_px,
+    n_captions (caption byte-equality is asserted in tests, the rollup
+    carries distinct caption counts so mismatches surface as count drift).
+    """
+    images = synth_images(spark, n_images, seed=seed, partitions=partitions)
+    tiles = tile_images(images, res=res, nodata=0)
+    polys = synth_polygons(spark, n_polygons, seed=seed)
+    joined = pip_join(tiles, polys, res=res, salt=salt)
+    return (
+        joined.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.countDistinct("image_id").alias("n_images"),
+            F.sum("px_value").alias("sum_px"),
+            F.countDistinct("caption").alias("n_captions"),
+        )
+        .orderBy("poly_id")
+    )

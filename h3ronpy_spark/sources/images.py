@@ -1,0 +1,137 @@
+"""Deterministic synthetic image+caption table (the north-star input).
+
+Schema per BASELINE.json input_hint:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash long)
+
+Generation is seeded and row-local (splitmix64 of the row id), so any
+subset of rows regenerates identically on any executor — the property that
+makes resume-from-checkpoint and cross-run comparisons exact.  Georeference
+is pinned by FIXTURES.md F1:
+  lat = (phash mod 1_700_000)/1e4 - 85
+  lng = ((phash >> 20) mod 3_600_000)/1e4 - 180
+with a fixed 0.001-degree pixel size, giving each image a GDAL-style
+geotransform.  fmt is "raw8": raw row-major uint8, single band (the
+container has no image codecs; the decode step is exact, so the
+PSNR >= 40 dB invariant holds trivially and is still asserted).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PIXEL_DEG = 0.001
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public-domain splitmix64 constants)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def phash_of_ids(ids: np.ndarray, seed: int = 42) -> np.ndarray:
+    mix = np.uint64((seed * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(ids.astype(np.uint64) ^ mix)
+
+
+def georef_of_phash(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pinned phash -> (lat, lng) degrees mapping (FIXTURES.md F1)."""
+    u = phash.astype(np.uint64)
+    lat = (u % np.uint64(1_700_000)).astype(np.float64) / 1e4 - 85.0
+    lng = ((u >> np.uint64(20)) % np.uint64(3_600_000)).astype(np.float64) / 1e4 - 180.0
+    return lat, lng
+
+
+def transform_of(lat: float, lng: float) -> tuple:
+    """GDAL geotransform anchored at the image's top-left corner."""
+    return (PIXEL_DEG, 0.0, lng, 0.0, -PIXEL_DEG, lat)
+
+
+def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+    """Generate the image rows for the given int64 ids (row-local)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    ph = phash_of_ids(ids, seed)
+    w = (16 + (ph % np.uint64(49))).astype(np.int32)
+    h = (16 + ((ph >> np.uint64(8)) % np.uint64(49))).astype(np.int32)
+    blobs = []
+    for i in range(len(ids)):
+        # deterministic pixel grid: value = (x*3 + y*7 + phash) & 0xFF,
+        # with a nodata (0) border to exercise nodata filtering
+        hh, ww = int(h[i]), int(w[i])
+        x = np.arange(ww, dtype=np.uint64)
+        y = np.arange(hh, dtype=np.uint64)[:, None]
+        band = ((x * np.uint64(3) + y * np.uint64(7) + ph[i]) % np.uint64(255) + np.uint64(1)).astype(np.uint8)
+        band[0, :] = 0
+        band[:, 0] = 0
+        blobs.append(band.tobytes())
+    caption = [
+        f"caption-{int(i):012d}-{int(p) & 0xFFFFFFFF:08x}" for i, p in zip(ids, ph)
+    ]
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{int(i):012d}" for i in ids],
+            "bytes": blobs,
+            "w": w,
+            "h": h,
+            "fmt": "raw8",
+            "caption": caption,
+            "phash": ph.view(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF),
+        }
+    )
+
+
+def synth_images(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic images table: one generation task per
+    partition; at 10^12-image scale this is the Iceberg scan stand-in."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield gen_images_pdf(b["id"].to_numpy(), seed)
+
+    return base.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode the image payload to a (h, w) uint8 array.
+
+    raw8 is exact.  Real codecs (png/jpeg/webp) are not available in this
+    container — the Spark-side plumbing (schema, batching, partitioning) is
+    identical, so they are stubbed with a clear error."""
+    if fmt == "raw8":
+        a = np.frombuffer(blob, dtype=np.uint8)
+        return a.reshape(int(h), int(w))
+    raise NotImplementedError(
+        f"codec {fmt!r} not available in this environment (stub); "
+        "raw8 is the deterministic stand-in"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for exact match)."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
