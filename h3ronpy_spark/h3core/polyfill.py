@@ -97,7 +97,7 @@ def _candidate_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
     maxx, maxy = allv.max(axis=0)
     cd = _EDGE_DEG[res]
     minx, miny, maxx, maxy = minx - cd, miny - cd, maxx + cd, maxy + cd
-    step = cd * 0.35
+    step = cd * 0.38
     nx = min(int((maxx - minx) / step) + 2, 4096)
     ny = min(int((maxy - miny) / step) + 2, 4096)
     gx = np.linspace(minx, maxx, nx)

@@ -92,7 +92,7 @@ def raster_to_cells(
     # no neighbor-dilation pass), then exact centroid -> pixel test
     deg_cell = 24.0 / (7.0 ** (h3_res / 2.0))  # ~cell spacing in degrees
     px_deg = min(abs(a), abs(e)) or 1e-12
-    step_px = max(deg_cell / px_deg * 0.3, 1.0)
+    step_px = deg_cell / px_deg * 0.38  # may be < 1 px when cells are finer than pixels
     cols = np.arange(0, w + step_px, step_px, dtype=np.float64)
     rows = np.arange(0, h + step_px, step_px, dtype=np.float64)
     cc, rr = np.meshgrid(cols, rows)

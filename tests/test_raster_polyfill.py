@@ -1,0 +1,166 @@
+"""Raster<->H3 and polyfill invariants (reference behavior per
+h3ronpy/tests/arrow/test_raster.py and tests/pandas/test_vector.py)."""
+
+import numpy as np
+import pytest
+
+from h3ronpy_spark.h3core import index as IDX
+from h3ronpy_spark.h3core import latlng as LL
+from h3ronpy_spark.h3core import polyfill as PF
+from h3ronpy_spark.h3core import rasterh3 as R
+from h3ronpy_spark.h3core import wkb as W
+
+
+class TestRaster:
+    def test_block_raster_roundtrip_exact(self):
+        w, h = 60, 40
+        tf = (0.01, 0.0, 10.0, 0.0, -0.01, 45.0)
+        band = np.zeros((h, w), dtype=np.uint8)
+        band[5:20, 10:40] = 7
+        band[25:35, 5:25] = 3
+        vals, cells = R.raster_to_cells(band, tf, 9, nodata_value=0)
+        assert cells.size > 1000
+        out = R.cells_to_raster(cells, vals, (w, h), tf, nodata_value=0)
+        assert (out == band).all()
+
+    def test_centroid_semantics_and_completeness(self):
+        rng = np.random.default_rng(11)
+        for _ in range(8):
+            res = int(rng.integers(6, 11))
+            pix = 24.0 / 7 ** (res / 2) / rng.uniform(0.3, 6)
+            la0 = float(rng.uniform(-75, 75))
+            lo0 = float(rng.uniform(-170, 170))
+            ww, hh = int(rng.integers(15, 40)), int(rng.integers(15, 40))
+            tf = (pix, 0.0, lo0, 0.0, -pix, la0)
+            band = rng.integers(1, 5, size=(hh, ww)).astype(np.uint8)
+            vals, cells = R.raster_to_cells(band, tf, res, nodata_value=0)
+            # every emitted value equals the band value at the centroid px
+            cl, cg = LL.cell_to_latlng(cells)
+            col = np.floor((np.degrees(cg) - lo0) / pix).astype(int)
+            row = np.floor((la0 - np.degrees(cl)) / pix).astype(int)
+            assert (band[row, col] == vals).all()
+            # completeness: a 4x-denser sample grid finds no extra cells
+            cc, rr = np.meshgrid(
+                np.arange(0, ww, 0.2), np.arange(0, hh, 0.2)
+            )
+            dense = np.unique(
+                LL.latlng_to_cell(
+                    np.radians(la0 - pix * rr.ravel()),
+                    np.radians(lo0 + pix * cc.ravel()),
+                    res,
+                )
+            )
+            dl, dg = LL.cell_to_latlng(dense)
+            dcol = np.floor((np.degrees(dg) - lo0) / pix).astype(int)
+            drow = np.floor((la0 - np.degrees(dl)) / pix).astype(int)
+            inb = (dcol >= 0) & (dcol < ww) & (drow >= 0) & (drow < hh)
+            expected = dense[inb]
+            missing = set(expected.tolist()) - set(cells.tolist())
+            assert not missing, (res, pix, len(missing))
+
+    def test_nearest_h3_resolution(self):
+        # ~100m pixels -> around res 9; modes ordered
+        tf = (0.001, 0.0, 10.0, 0.0, -0.001, 45.0)
+        r1 = R.nearest_h3_resolution((100, 100), tf, search_mode="min_diff")
+        r2 = R.nearest_h3_resolution(
+            (100, 100), tf, search_mode="smaller_than_pixel"
+        )
+        assert 8 <= r1 <= 10
+        assert r2 >= r1
+
+    def test_wgs84_bounds_rejected(self):
+        band = np.ones((10, 10), dtype=np.uint8)
+        with pytest.raises(ValueError):
+            R.raster_to_cells(band, (40.0, 0, 0, 0, -40.0, 90), 5)
+
+    def test_axis_order(self):
+        band = np.arange(12, dtype=np.uint8).reshape(3, 4) + 1
+        tf = (0.01, 0.0, 10.0, 0.0, -0.01, 45.0)
+        v1, c1 = R.raster_to_cells(band, tf, 8, nodata_value=None)
+        v2, c2 = R.raster_to_cells(band.T, tf, 8, nodata_value=None,
+                                   axis_order="xy")
+        assert np.array_equal(c1, c2) and np.array_equal(v1, v2)
+
+
+class TestPolyfill:
+    RECT = [np.array([[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]],
+                     dtype=float)]
+
+    def test_rect_res4_count(self):
+        # crates/h3arrow/src/array/from_geo.rs:406-425: > 400 cells
+        cells = PF.polygon_to_cells(self.RECT, 4)
+        assert cells.size > 400
+        assert IDX.is_valid_cell(cells).all()
+
+    def test_mode_nesting(self):
+        cont = PF.polygon_to_cells(self.RECT, 4, "containsboundary")
+        cen = PF.polygon_to_cells(self.RECT, 4)
+        inter = PF.polygon_to_cells(self.RECT, 4, "intersectsboundary")
+        cov = PF.polygon_to_cells(self.RECT, 4, "covers")
+        assert set(cont) <= set(cen) <= set(inter) <= set(cov)
+
+    def test_centroid_mode_area_unbiased(self):
+        from h3ronpy_spark.h3core.boundary import cell_area_km2
+
+        cells = PF.polygon_to_cells(self.RECT, 4)
+        area = cell_area_km2(cells).sum()
+        R_km = 6371.007180918475
+        poly = (
+            np.radians(10)
+            * (np.sin(np.radians(20)) - np.sin(np.radians(10)))
+            * R_km**2
+        )
+        assert abs(area / poly - 1) < 0.01
+
+    def test_hierarchical_equals_direct(self):
+        comp = PF.polygon_to_cells_compact(self.RECT, 6)
+        _, unc = IDX.uncompact(comp, 6)
+        direct = PF.polygon_to_cells(self.RECT, 6)
+        assert set(unc.tolist()) == set(direct.tolist())
+        assert comp.size < direct.size / 5
+
+    def test_sliver_smaller_than_cell(self):
+        # tests/pandas/test_vector.py:78-97: 0 centroid cells, covers >= 1
+        sliver = [np.array(
+            [[10, 10], [10.001, 10], [10.001, 10.001], [10, 10]], dtype=float
+        )]
+        assert PF.polygon_to_cells(sliver, 4).size == 0
+        assert PF.polygon_to_cells(sliver, 4, "covers").size >= 1
+
+    def test_point_and_line(self):
+        pt = W.write_point(10.2, 45.5)
+        c = PF.wkb_to_cells(pt, 5)
+        assert c.tolist() == [0x851F9923FFFFFFF]
+        ln = W.write_linestring([[10.0, 45.0], [10.5, 45.2]])
+        lc = PF.wkb_to_cells(ln, 7)
+        assert lc.size > 10
+        # line cells form a connected-ish path: consecutive samples adjacent
+        assert IDX.is_valid_cell(lc).all()
+
+    def test_empty_geometry(self):
+        empty = W.write_geometrycollection([])
+        assert PF.wkb_to_cells(empty, 5).size == 0
+        assert PF.wkb_to_cells(None, 5).size == 0
+
+    def test_multipolygon_and_hole(self):
+        outer = np.array(
+            [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float
+        )
+        hole = np.array(
+            [[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]],
+            dtype=float,
+        )
+        with_hole = PF.wkb_to_cells(W.write_polygon([outer, hole]), 6)
+        without = PF.wkb_to_cells(W.write_polygon([outer]), 6)
+        assert 0 < with_hole.size < without.size
+        mp = W.write_multipolygon([[outer], [outer + 5.0]])
+        both = PF.wkb_to_cells(mp, 5)
+        one = PF.wkb_to_cells(W.write_polygon([outer]), 5)
+        assert both.size > one.size
+
+    def test_compact_coverage_equal(self):
+        blob = W.write_polygon(self.RECT)
+        comp = PF.wkb_to_cells(blob, 5, compact=True)
+        _, unc = IDX.uncompact(comp, 5)
+        plain = PF.wkb_to_cells(blob, 5)
+        assert set(unc.tolist()) == set(plain.tolist())
