@@ -98,10 +98,28 @@ def _rot_digits(digits: np.ndarray, rows: np.ndarray, ccw: bool) -> None:
     digits[rows] = t[digits[rows]]
 
 
+_CHUNK = 16384  # keep kernel temporaries cache-resident: the unchunked
+# kernel is DRAM-bandwidth-bound and stops scaling past ~8 cores (measured
+# 0.07 M rows/s/proc at 32 procs unchunked vs 0.38 M chunked)
+
+
 def latlng_to_cell(lat: np.ndarray, lng: np.ndarray, res) -> np.ndarray:
     """(lat, lng) radians + res (scalar or per-row) -> int64 cell indexes.
 
     Invalid input (NaN coords / res out of range) yields -1."""
+    lat = np.ascontiguousarray(lat, dtype=np.float64).ravel()
+    if lat.shape[0] > _CHUNK:
+        lng_a = np.ascontiguousarray(lng, dtype=np.float64).ravel()
+        res_a = np.broadcast_to(np.asarray(res, dtype=np.int64), lat.shape)
+        out = np.empty(lat.shape[0], dtype=np.int64)
+        for i in range(0, lat.shape[0], _CHUNK):
+            sl = slice(i, i + _CHUNK)
+            out[sl] = _latlng_to_cell_chunk(lat[sl], lng_a[sl], res_a[sl])
+        return out
+    return _latlng_to_cell_chunk(lat, lng, res)
+
+
+def _latlng_to_cell_chunk(lat: np.ndarray, lng: np.ndarray, res) -> np.ndarray:
     lat = np.ascontiguousarray(lat, dtype=np.float64).ravel()
     lng = np.ascontiguousarray(lng, dtype=np.float64).ravel()
     n = lat.shape[0]
@@ -372,6 +390,18 @@ def fijk_to_geo(face, c, res, substrate: bool = False):
 
 def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
     """int64 cells -> (lat, lng) radians of cell centers. Invalid -> NaN."""
+    h = np.asarray(h, dtype=np.int64).ravel()
+    if h.shape[0] > _CHUNK:
+        lat = np.empty(h.shape[0])
+        lng = np.empty(h.shape[0])
+        for i in range(0, h.shape[0], _CHUNK):
+            sl = slice(i, i + _CHUNK)
+            lat[sl], lng[sl] = _cell_to_latlng_chunk(h[sl])
+        return lat, lng
+    return _cell_to_latlng_chunk(h)
+
+
+def _cell_to_latlng_chunk(h) -> tuple[np.ndarray, np.ndarray]:
     h = np.asarray(h, dtype=np.int64).ravel()
     valid = IDX.is_valid_cell(h)
     face, c, res = cell_to_fijk(np.where(valid, h, np.int64(0x08001FFFFFFFFFFF)))

@@ -121,6 +121,81 @@ def raster_to_cells(
     return vals, cand
 
 
+def rasters_to_cells_batch(
+    bands: list[np.ndarray],
+    transforms: np.ndarray,
+    h3_res: int,
+    nodata_value=0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched raster_to_cells: one vectorized encode/decode across ALL
+    rasters in the batch.
+
+    bands: list of (h_i, w_i) arrays (same dtype); transforms: (N, 6) GDAL
+    coefficients.  Returns (img_idx, values, cells) flat arrays.  This is
+    the hot path of the tiling operator — per-image Python overhead is two
+    tiny loops; all H3 math happens in three whole-batch kernels."""
+    n = len(bands)
+    if n == 0:
+        return (np.array([], np.int64),) * 3
+    deg_cell = 24.0 / (7.0 ** (h3_res / 2.0))
+    tf = np.asarray(transforms, dtype=np.float64)
+    a, b, c = tf[:, 0], tf[:, 1], tf[:, 2]
+    d, e, f = tf[:, 3], tf[:, 4], tf[:, 5]
+    ws = np.array([bb.shape[1] for bb in bands], dtype=np.int64)
+    hs = np.array([bb.shape[0] for bb in bands], dtype=np.int64)
+
+    # --- per-image sample grids, concatenated
+    samp_lat, samp_lng, samp_img = [], [], []
+    for i in range(n):
+        check_wgs84_bounds(tf[i], int(ws[i]), int(hs[i]))
+        px_deg = min(abs(a[i]), abs(e[i])) or 1e-12
+        step = deg_cell / px_deg * 0.38
+        cols = np.arange(0, ws[i] + step, step)
+        rows = np.arange(0, hs[i] + step, step)
+        cc, rr = np.meshgrid(cols, rows)
+        samp_lng.append(a[i] * cc.ravel() + b[i] * rr.ravel() + c[i])
+        samp_lat.append(d[i] * cc.ravel() + e[i] * rr.ravel() + f[i])
+        samp_img.append(np.full(cc.size, i, dtype=np.int64))
+    lat_all = np.concatenate(samp_lat)
+    lng_all = np.concatenate(samp_lng)
+    img_all = np.concatenate(samp_img)
+
+    # --- one whole-batch encode, then (img, cell) dedupe via sort
+    cells = latlng_to_cell(np.radians(lat_all), np.radians(lng_all), h3_res)
+    ok = cells != -1
+    cells, img_all = cells[ok], img_all[ok]
+    order = np.lexsort((cells, img_all))
+    cells, img_all = cells[order], img_all[order]
+    keep = np.ones(cells.shape, dtype=bool)
+    keep[1:] = (cells[1:] != cells[:-1]) | (img_all[1:] != img_all[:-1])
+    cells, img_all = cells[keep], img_all[keep]
+
+    # --- one whole-batch decode + per-image affine inverse (gathered)
+    clat, clng = cell_to_latlng(cells)
+    clatd, clngd = np.degrees(clat), np.degrees(clng)
+    ai, bi, ci = a[img_all], b[img_all], c[img_all]
+    di, ei, fi = d[img_all], e[img_all], f[img_all]
+    det = ai * ei - bi * di
+    col = (ei * (clngd - ci) - bi * (clatd - fi)) / det
+    row = (ai * (clatd - fi) - di * (clngd - ci)) / det
+    ci_ = np.floor(col).astype(np.int64)
+    ri_ = np.floor(row).astype(np.int64)
+    inb = (ci_ >= 0) & (ci_ < ws[img_all]) & (ri_ >= 0) & (ri_ < hs[img_all])
+    cells, img_all, ci_, ri_ = cells[inb], img_all[inb], ci_[inb], ri_[inb]
+
+    # --- flattened value gather across all bands
+    offsets = np.concatenate([[0], np.cumsum(ws * hs)[:-1]])
+    flat = np.concatenate([bb.ravel() for bb in bands])
+    vals = flat[offsets[img_all] + ri_ * ws[img_all] + ci_]
+    if nodata_value is not None:
+        if isinstance(nodata_value, float) and np.isnan(nodata_value):
+            m = ~np.isnan(vals)
+        else:
+            m = vals != nodata_value
+        cells, img_all, vals = cells[m], img_all[m], vals[m]
+    return img_all, vals, cells
+
+
 def cells_to_raster(
     cells: np.ndarray,
     values: np.ndarray,

@@ -62,17 +62,24 @@ def pip_join(
     broadcast_threshold_rows: int = 2_000_000,
     salt: int | None = None,
     how: str = "inner",
+    coverage: DataFrame | None = None,
 ) -> DataFrame:
     """Assign polygon attributes to rows of `left_cells` (which must carry
-    an H3 cell column at resolution `res`).
+    an H3 cell column at resolution >= the coverage resolution).
 
     The polygon side becomes a compact coverage; the left side joins via
     its ancestor at each resolution present in the coverage (ancestor =
-    pure bit math -> stays in whole-stage codegen)."""
-    cov = polyfill_polygons(polygons, res, mode, compact=True).withColumnRenamed(
-        "cell", "__poly_cell"
-    )
-    cov = cov.persist()
+    pure bit math -> stays in whole-stage codegen).  Pass a precomputed
+    `coverage` (from polyfill_polygons(..., compact=True), persisted) to
+    amortize the polyfill across joins at multiple point resolutions —
+    coverage at res R serves any left side at res >= R."""
+    if coverage is None:
+        cov = polyfill_polygons(polygons, res, mode, compact=True)
+        cov = cov.withColumnRenamed("cell", "__poly_cell").persist()
+    else:
+        cov = coverage
+        if "__poly_cell" not in cov.columns:
+            cov = cov.withColumnRenamed("cell", "__poly_cell")
     n_cov = cov.count()
     res_list = sorted(
         r[0]

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..sources.images import decode_image, georef_of_phash, transform_of
+from ..sources.images import decode_image, georef_of_phash
 
 TILES_SCHEMA = T.StructType(
     [
@@ -31,36 +31,38 @@ TILES_SCHEMA = T.StructType(
 def tile_images(images: DataFrame, res: int, nodata: int | None = 0) -> DataFrame:
     """images (input_hint schema) -> tiles at H3 `res`."""
 
+    from ..sources.images import PIXEL_DEG
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..h3core.rasterh3 import raster_to_cells
+        from ..h3core.rasterh3 import rasters_to_cells_batch
 
         for b in batches:
-            out_img, out_cell, out_val, out_cap = [], [], [], []
             lat, lng = georef_of_phash(b["phash"].to_numpy(np.int64))
-            for idx in range(len(b)):
-                row = b.iloc[idx]
-                band = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
-                tf = transform_of(float(lat[idx]), float(lng[idx]))
-                vals, cells = raster_to_cells(
-                    band, tf, res, nodata_value=nodata
-                )
-                if cells.size:
-                    out_img.append(
-                        np.repeat(np.array([row["image_id"]], dtype=object), cells.size)
-                    )
-                    out_cell.append(cells)
-                    out_val.append(vals.astype(np.int32))
-                    out_cap.append(
-                        np.repeat(np.array([row["caption"]], dtype=object), cells.size)
-                    )
-            if out_img:
-                yield pd.DataFrame(
-                    {
-                        "image_id": np.concatenate(out_img),
-                        "cell": np.concatenate(out_cell),
-                        "px_value": np.concatenate(out_val),
-                        "caption": np.concatenate(out_cap),
-                    }
-                )
+            blobs = b["bytes"].tolist()
+            wcol = b["w"].to_numpy(np.int64)
+            hcol = b["h"].to_numpy(np.int64)
+            fmts = b["fmt"].tolist()
+            bands = [
+                decode_image(blobs[i], int(wcol[i]), int(hcol[i]), fmts[i])
+                for i in range(len(b))
+            ]
+            tfs = np.zeros((len(b), 6))
+            tfs[:, 0] = PIXEL_DEG
+            tfs[:, 2] = lng
+            tfs[:, 4] = -PIXEL_DEG
+            tfs[:, 5] = lat
+            img_idx, vals, cells = rasters_to_cells_batch(
+                bands, tfs, res, nodata_value=nodata
+            )
+            ids = b["image_id"].to_numpy(dtype=object)
+            caps = b["caption"].to_numpy(dtype=object)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids[img_idx],
+                    "cell": cells,
+                    "px_value": vals.astype(np.int32),
+                    "caption": caps[img_idx],
+                }
+            )
 
     return images.mapInPandas(run, TILES_SCHEMA)
