@@ -1,0 +1,269 @@
+"""Spark-layer integration tests: flagship invariants (caption
+byte-equality, PSNR), PIP join vs kernel ground truth, distributed
+compact, checkpoint resume, streaming, UDF null handling.
+
+One shared local[4] session for the module (Spark startup ~5 s)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import h3ronpy_spark.functions as H
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from h3ronpy_spark.session import get_spark
+
+    s = get_spark("local[4]", app_name="h3spark_tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+class TestFunctions:
+    def test_encode_decode_golden(self, spark):
+        df = spark.createDataFrame([(45.5, 10.2, 5)], "lat double, lng double, res int")
+        r = df.select(
+            H.coordinates_to_cells("lat", "lng", "res").alias("cell")
+        ).select(
+            H.cells_to_string(F.col("cell")).alias("hex"),
+            H.cells_resolution(F.col("cell")).alias("res"),
+            H.cells_valid(F.col("cell")).alias("ok"),
+        ).first()
+        assert r["hex"] == "851f9923fffffff"
+        assert r["res"] == 5 and r["ok"]
+
+    def test_null_propagation(self, spark):
+        df = spark.createDataFrame(
+            [(None, 10.2, 5), (45.5, 10.2, None), (45.5, 10.2, 5)],
+            "lat double, lng double, res int",
+        )
+        out = df.select(
+            H.coordinates_to_cells("lat", "lng", "res").alias("cell")
+        ).collect()
+        assert out[0]["cell"] is None
+        assert out[1]["cell"] is None
+        assert out[2]["cell"] is not None
+
+    def test_parent_sql_vs_kernel(self, spark):
+        # the pure-SQL bit-math parent must equal the kernel parent
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+
+        rng = np.random.default_rng(5)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 500)))
+        lng = np.degrees(rng.uniform(-np.pi, np.pi, 500))
+        cells = LL.latlng_to_cell(np.radians(lat), np.radians(lng), 9)
+        want = IDX.cell_to_parent(cells, 4)
+        df = spark.createDataFrame(
+            [(int(c),) for c in cells], "cell long"
+        ).select(H.change_resolution_parent(F.col("cell"), 4).alias("p"))
+        got = np.array([r["p"] for r in df.collect()])
+        assert (got == want).all()
+
+    def test_sql_registration(self, spark):
+        H.register_sql_functions(spark)
+        r = spark.sql(
+            "SELECT h3_coordinates_to_cells(45.5d, 10.2d, 5) AS c"
+        ).first()
+        assert r["c"] == 0x851F9923FFFFFFF
+
+
+class TestFlagship:
+    def test_flagship_invariants(self, spark):
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.operators.tiling import tile_images
+        from h3ronpy_spark.sources.images import synth_images
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        images = synth_images(spark, 400, seed=42, partitions=4)
+        tiles = tile_images(images, res=8, nodata=0)
+        polys = synth_polygons(spark, 15, seed=42)
+        joined = pip_join(tiles, polys, res=8).persist()
+
+        # caption byte-equality through the join: every joined row's
+        # caption equals the caption regenerated from its image_id
+        from h3ronpy_spark.sources.images import gen_images_pdf
+
+        rows = joined.select("image_id", "caption").distinct().collect()
+        assert rows, "join produced no rows"
+        ids = np.array([int(r["image_id"][3:]) for r in rows])
+        regen = gen_images_pdf(ids, seed=42)
+        assert list(regen["caption"]) == [r["caption"] for r in rows]
+
+        # every joined tile really is inside its polygon's coverage
+        cov_rows = joined.groupBy("poly_id").count().collect()
+        assert all(r["count"] > 0 for r in cov_rows)
+
+    def test_decode_psnr(self, spark):
+        # raw8 decode is exact => PSNR infinite (>= 40 dB requirement)
+        from h3ronpy_spark.sources.images import (
+            decode_image,
+            gen_images_pdf,
+            psnr,
+        )
+
+        pdf = gen_images_pdf(np.arange(50), seed=42)
+        for i in range(len(pdf)):
+            band = decode_image(
+                pdf["bytes"][i], pdf["w"][i], pdf["h"][i], "raw8"
+            )
+            assert band.shape == (pdf["h"][i], pdf["w"][i])
+            assert psnr(band, band) == float("inf")
+
+    def test_codec_stub_raises(self, spark):
+        from h3ronpy_spark.sources.images import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x00", 1, 1, "jpeg")
+
+    def test_pip_join_matches_kernel_ground_truth(self, spark):
+        """Spark PIP join == driver-side numpy polyfill + set membership."""
+        from h3ronpy_spark.h3core.polyfill import wkb_to_cells
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.sources.polygons import gen_polygons_pdf
+
+        polys_pdf = gen_polygons_pdf(8, seed=3)
+        rng = np.random.default_rng(0)
+        lat = rng.uniform(-60, 60, 3000)
+        lng = rng.uniform(-170, 170, 3000)
+        pts = spark.createDataFrame(
+            [(i, float(lat[i]), float(lng[i])) for i in range(3000)],
+            "id int, lat double, lng double",
+        ).select(
+            "id", H.coordinates_to_cells("lat", "lng", F.lit(7)).alias("cell")
+        )
+        polys = spark.createDataFrame(polys_pdf)
+        got = {
+            (r["id"], r["poly_id"])
+            for r in pip_join(pts, polys, res=7).select("id", "poly_id").collect()
+        }
+        # ground truth: exact polyfill at res 7 per polygon
+        from h3ronpy_spark.h3core.latlng import latlng_to_cell
+
+        cells = latlng_to_cell(np.radians(lat), np.radians(lng), 7)
+        want = set()
+        for _, row in polys_pdf.iterrows():
+            cover = set(wkb_to_cells(row["wkb"], 7).tolist())
+            for i in range(3000):
+                if int(cells[i]) in cover:
+                    want.add((i, row["poly_id"]))
+        assert got == want
+
+    def test_pip_join_salted_equals_broadcast(self, spark):
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        rng = np.random.default_rng(2)
+        pts = spark.createDataFrame(
+            [
+                (i, float(rng.uniform(-60, 60)), float(rng.uniform(-170, 170)))
+                for i in range(2000)
+            ],
+            "id int, lat double, lng double",
+        ).select(
+            "id", H.coordinates_to_cells("lat", "lng", F.lit(6)).alias("cell")
+        )
+        polys = synth_polygons(spark, 10, seed=9)
+        a = {
+            (r["id"], r["poly_id"])
+            for r in pip_join(pts, polys, res=6).select("id", "poly_id").collect()
+        }
+        b = {
+            (r["id"], r["poly_id"])
+            for r in pip_join(
+                pts, polys, res=6, broadcast_threshold_rows=1, salt=4
+            ).select("id", "poly_id").collect()
+        }
+        assert a == b
+
+
+class TestCompactDistributed:
+    def test_compact_cells(self, spark):
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.operators.compact import compact_cells, uncompact_cells
+
+        h5 = LL.latlng_to_cell(np.radians([45.5]), np.radians([10.2]), 5)
+        _, kids = IDX.cell_to_children_flat(h5, 7)
+        df = spark.createDataFrame([(int(c),) for c in kids], "cell long")
+        out = compact_cells(df)
+        got = sorted(r["cell"] for r in out.collect())
+        assert got == [int(h5[0])]
+        # uncompact back
+        back = uncompact_cells(out, 7)
+        assert back.count() == kids.size
+
+    def test_compact_partial(self, spark):
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.operators.compact import compact_cells
+
+        h5 = LL.latlng_to_cell(np.radians([45.5]), np.radians([10.2]), 5)
+        _, kids = IDX.cell_to_children_flat(h5, 6)
+        df = spark.createDataFrame(
+            [(int(c),) for c in kids[:-1]], "cell long"
+        )
+        out = sorted(r["cell"] for r in compact_cells(df).collect())
+        assert out == sorted(int(c) for c in kids[:-1])
+
+
+class TestCheckpoint:
+    def test_resume_skips_completed_shards(self, spark, tmp_path):
+        from h3ronpy_spark.plans.checkpoint import (
+            completed_shards,
+            read_manifest,
+            run_sharded,
+        )
+
+        base = str(tmp_path / "ckpt")
+        calls = []
+
+        def shard_fn(s, sid, lo, hi):
+            calls.append(sid)
+            return s.range(lo, hi).select(F.col("id").alias("x"))
+
+        run_sharded(spark, base, n_rows=100, n_shards=4, cell_res=8,
+                    shard_fn=shard_fn)
+        assert sorted(calls) == [0, 1, 2, 3]
+        assert completed_shards(spark, base) == {0, 1, 2, 3}
+        m = read_manifest(spark, base)
+        assert m.count() == 4
+        row = m.first()
+        assert row["rows_per_sec"] > 0 and row["snapshot_id"]
+
+        # simulate a crash: drop one manifest entry, rerun -> only that
+        # shard recomputes
+        os.remove(os.path.join(base, "_manifest", "shard-00002.json"))
+        calls.clear()
+        run_sharded(spark, base, n_rows=100, n_shards=4, cell_res=8,
+                    shard_fn=shard_fn)
+        assert calls == [2]
+        # output is complete
+        total = spark.read.parquet(os.path.join(base, "shard=*")).count()
+        assert total == 100
+        shutil.rmtree(base)
+
+
+class TestStreaming:
+    def test_stream_rollup_matches_batch(self, spark, tmp_path):
+        from h3ronpy_spark.streaming import run_available_now, stream_cells_rollup
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        in_dir = str(tmp_path / "events_in")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "part-0.parquet"))
+        df = stream_cells_rollup(spark, in_dir, res=6, window="6 hours",
+                                 watermark="1 hour")
+        run_available_now(df, str(tmp_path / "ckpt"))
+        got = spark.sql(
+            "SELECT sum(n_events) AS n FROM h3_stream_rollup"
+        ).first()["n"]
+        want = spark.read.parquet(src).count()
+        assert got == want
