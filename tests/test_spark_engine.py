@@ -265,5 +265,19 @@ class TestStreaming:
         got = spark.sql(
             "SELECT sum(n_events) AS n FROM h3_stream_rollup"
         ).first()["n"]
-        want = spark.read.parquet(src).count()
+        # append mode emits only windows fully below the final watermark
+        # (max event time - 1 hour); the last open window is withheld
+        batch = spark.read.parquet(src).select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+        max_ts = batch.agg(F.max("ts")).first()[0]
+        want = (
+            batch.withColumn("w", F.window("ts", "6 hours"))
+            .filter(
+                F.col("w.end")
+                <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+            )
+            .count()
+        )
         assert got == want
+        assert got > 0
