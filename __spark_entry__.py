@@ -501,6 +501,64 @@ def _q_h3_grid_agg(spark, sf):
     return out.groupBy("k").agg(F.count("*").alias("n"))
 
 
+def _q_h3_edges(spark, sf):
+    """Directed edges: origin/destination closure + length stats."""
+    import h3ronpy_spark.functions as H
+
+    pts = _docs_points(spark, sf).filter(F.col("doc_id") < 400)
+    cells = pts.select(
+        "doc_id", H.coordinates_to_cells("lat", "lng", F.lit(8)).alias("cell")
+    )
+    edges = cells.select(
+        "doc_id", F.explode(H.cells_to_edges(F.col("cell"))).alias("edge")
+    )
+    return edges.select(
+        "doc_id",
+        H.directededges_valid(F.col("edge")).alias("edge_ok"),
+        (H.edges_origin(F.col("edge")).isNotNull()).alias("has_origin"),
+        F.round(H.edges_length_km(F.col("edge")), 4).alias("len_km"),
+    ).groupBy("doc_id").agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.when(F.col("edge_ok"), 1).otherwise(0)).alias("n_valid"),
+        F.round(F.sum("len_km"), 3).alias("perimeter_km"),
+    )
+
+
+def _q_h3_vertexes(spark, sf):
+    import h3ronpy_spark.functions as H
+
+    pts = _docs_points(spark, sf).filter(F.col("doc_id") < 200)
+    cells = pts.select(
+        "doc_id", H.coordinates_to_cells("lat", "lng", F.lit(8)).alias("cell")
+    )
+    verts = cells.select(
+        "doc_id", F.explode(H.cells_to_vertexes(F.col("cell"))).alias("v")
+    )
+    return verts.select(
+        "doc_id",
+        H.vertexes_valid(F.col("v")).alias("ok"),
+        F.length(H.vertexes_to_wkb_points(F.col("v"))).alias("wkb_len"),
+    ).groupBy("doc_id").agg(
+        F.count("*").alias("n_verts"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_valid"),
+        F.max("wkb_len").alias("wkb_len"),
+    )
+
+
+def _q_h3_res_stats(spark, sf):
+    """Per-resolution stats (op 17): exact cell counts + average areas.
+    Fully oracle-checkable: both derive from the closed forms the grid
+    definition implies (count = 2 + 120*7^r, avg area = sphere/count)."""
+    df = spark.range(0, 16).select(F.col("id").cast("int").alias("res"))
+    count = F.lit(2) + F.lit(120) * F.pow(F.lit(7.0), F.col("res")).cast("long")
+    sphere = 510065621.7240886
+    return df.select(
+        "res",
+        count.alias("cell_count"),
+        F.round(F.lit(sphere) / count, 6).alias("avg_area_km2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational (full DuckDB oracle)
@@ -539,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_tiling": _q_h3_tiling,
         "h3_wkb": _q_h3_wkb_points,
         "h3_grid_disk_agg": _q_h3_grid_agg,
+        "h3_edges": _q_h3_edges,
+        "h3_vertexes": _q_h3_vertexes,
+        "h3_res_stats": _q_h3_res_stats,
     }
 
 
@@ -734,6 +795,15 @@ def oracle_sql() -> dict[str, str]:
         "h3_roundtrip": """
             SELECT count(*) AS n_total, count(*) AS n_roundtrip
             FROM documents
+        """,
+        "h3_res_stats": """
+            SELECT CAST(res AS INT) AS res,
+                   CAST(2 + 120 * CAST(pow(7.0, res) AS BIGINT) AS BIGINT)
+                       AS cell_count,
+                   round(CAST('510065621.7240886' AS DOUBLE)
+                         / CAST(2 + 120 * CAST(pow(7.0, res) AS BIGINT)
+                                AS DOUBLE), 6) AS avg_area_km2
+            FROM range(0, 16) t(res)
         """,
         "h3_disk_size": """
             SELECT 19 AS disk_size, count(*) AS n

@@ -53,6 +53,11 @@ def change_resolution_parent(cell: Column, parent_res: int) -> Column:
     return F.when(cells_resolution(cell) >= pr, parent)
 
 
+# vertex/edge hex formatting is identical int64 hex (op 9)
+vertexes_to_string = cells_to_string
+directededges_to_string = cells_to_string
+
+
 def cells_base_cell(cell: Column) -> Column:
     return F.shiftrightunsigned(cell, 45).bitwiseAND(F.lit(0x7F)).cast("int")
 
@@ -379,3 +384,187 @@ def register_sql_functions(spark: SparkSession) -> None:
     ``SELECT h3_coordinates_to_cells(lat, lng, 9) FROM t``."""
     for name, fn in _SQL_FUNCS.items():
         spark.udf.register(name, fn)
+
+
+# ---------------------------------------------------------------------------
+# directed-edge / vertex functions (SURVEY.md §2 ops 6-7, 9, 16, 20-21, 33-34)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def cells_to_edges(cell: pd.Series) -> pd.Series:
+    """All directed edges originating at each cell."""
+    from h3ronpy_spark.h3core.edges import cells_to_edges as c2e
+    from h3ronpy_spark.h3core.index import is_valid_cell
+
+    h = _cells_np(cell)
+    valid = is_valid_cell(h)
+    out: list = [None] * len(h)
+    if valid.any():
+        rows, eds = c2e(h[valid])
+        v_idx = np.nonzero(valid)[0]
+        order = np.argsort(rows, kind="stable")
+        rows, eds = rows[order], eds[order]
+        groups = np.split(eds, np.searchsorted(rows, np.arange(1, valid.sum())))
+        for gi, es in enumerate(groups):
+            out[v_idx[gi]] = es.tolist()
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def edges_origin(edge: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import edge_origin, edges_valid
+
+    e = _cells_np(edge)
+    out = edge_origin(e)
+    return _to_cells_series(np.where(edges_valid(e), out, -1))
+
+
+@pandas_udf(T.LongType())
+def edges_destination(edge: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import edge_destination, edges_valid
+
+    e = _cells_np(edge)
+    out = np.where(edges_valid(e), edge_destination(e), -1)
+    return _to_cells_series(out)
+
+
+@pandas_udf(T.BooleanType())
+def directededges_valid(edge: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import edges_valid
+
+    return pd.Series(edges_valid(_cells_np(edge)) & edge.notna().to_numpy())
+
+
+@pandas_udf(T.DoubleType())
+def edges_length_km(edge: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import edge_length_km
+
+    out = edge_length_km(_cells_np(edge))
+    return pd.Series(out).mask(~edge.notna().to_numpy())
+
+
+@pandas_udf(T.BinaryType())
+def directededges_to_wkb_linestrings(edge: pd.Series) -> pd.Series:
+    """Edge -> 2-point WKB linestring along the shared cell boundary."""
+    from h3ronpy_spark.h3core.edges import edge_boundary
+    from h3ronpy_spark.h3core.wkb import write_linestrings
+
+    lats, lngs = edge_boundary(_cells_np(edge))
+    coords = []
+    for i in range(len(edge)):
+        if np.isfinite(lats[i]).all():
+            coords.append(
+                np.stack(
+                    [np.degrees(lngs[i]), np.degrees(lats[i])], axis=-1
+                )
+            )
+        else:
+            coords.append(None)
+    return pd.Series(write_linestrings(coords))
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def cells_to_vertexes(cell: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import cells_to_vertexes as c2v
+    from h3ronpy_spark.h3core.index import is_valid_cell
+
+    h = _cells_np(cell)
+    valid = is_valid_cell(h)
+    out: list = [None] * len(h)
+    if valid.any():
+        rows, vs = c2v(h[valid])
+        v_idx = np.nonzero(valid)[0]
+        order = np.argsort(rows, kind="stable")
+        rows, vs = rows[order], vs[order]
+        groups = np.split(vs, np.searchsorted(rows, np.arange(1, valid.sum())))
+        for gi, g in enumerate(groups):
+            out[v_idx[gi]] = g.tolist()
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def vertexes_owner(vertex: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import vertex_owner, vertexes_valid
+
+    v = _cells_np(vertex)
+    return _to_cells_series(np.where(vertexes_valid(v), vertex_owner(v), -1))
+
+
+@pandas_udf(T.BooleanType())
+def vertexes_valid(vertex: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import vertexes_valid as vv
+
+    return pd.Series(vv(_cells_np(vertex)) & vertex.notna().to_numpy())
+
+
+@pandas_udf(T.BinaryType())
+def vertexes_to_wkb_points(vertex: pd.Series) -> pd.Series:
+    from h3ronpy_spark.h3core.edges import vertexes_to_latlng
+    from h3ronpy_spark.h3core.wkb import write_points
+
+    lat, lng = vertexes_to_latlng(_cells_np(vertex))
+    return pd.Series(write_points(np.degrees(lng), np.degrees(lat)))
+
+
+@pandas_udf(T.LongType())
+def vertexes_parse(s: pd.Series) -> pd.Series:
+    """Parse vertex indexes from hex/decimal strings (op 6), nulling
+    failures."""
+    from h3ronpy_spark.h3core.edges import vertexes_valid as vv
+
+    out = np.full(len(s), -1, dtype=np.int64)
+    for i, x in enumerate(s):
+        if x is None:
+            continue
+        try:
+            v = int(str(x).strip(), 16)
+        except ValueError:
+            try:
+                v = int(str(x).strip(), 10)
+            except ValueError:
+                continue
+        if 0 <= v < (1 << 63):
+            out[i] = v
+    out = np.where(vv(out), out, -1)
+    return _to_cells_series(out)
+
+
+@pandas_udf(T.LongType())
+def directededges_parse(s: pd.Series) -> pd.Series:
+    """Parse directed-edge indexes from hex/decimal strings (op 7)."""
+    from h3ronpy_spark.h3core.edges import edges_valid as ev
+
+    out = np.full(len(s), -1, dtype=np.int64)
+    for i, x in enumerate(s):
+        if x is None:
+            continue
+        try:
+            v = int(str(x).strip(), 16)
+        except ValueError:
+            try:
+                v = int(str(x).strip(), 10)
+            except ValueError:
+                continue
+        if 0 <= v < (1 << 63):
+            out[i] = v
+    out = np.where(ev(out), out, -1)
+    return _to_cells_series(out)
+
+
+_SQL_FUNCS.update(
+    {
+        "h3_cells_to_edges": cells_to_edges,
+        "h3_edges_origin": edges_origin,
+        "h3_edges_destination": edges_destination,
+        "h3_directededges_valid": directededges_valid,
+        "h3_edges_length_km": edges_length_km,
+        "h3_edges_to_wkb_linestrings": directededges_to_wkb_linestrings,
+        "h3_cells_to_vertexes": cells_to_vertexes,
+        "h3_vertexes_owner": vertexes_owner,
+        "h3_vertexes_valid": vertexes_valid,
+        "h3_vertexes_to_wkb_points": vertexes_to_wkb_points,
+        "h3_vertexes_parse": vertexes_parse,
+        "h3_directededges_parse": directededges_parse,
+    }
+)
