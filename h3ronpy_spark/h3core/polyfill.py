@@ -309,3 +309,52 @@ def wkb_to_cells(
     if compact:
         cells = IDX.compact(cells)
     return cells
+
+
+def geometry_to_cells(
+    geom, res: int, containment_mode: str = MODE_CENTROID,
+    compact: bool = False,
+) -> np.ndarray:
+    """Single ``__geo_interface__`` mapping / GeoJSON-like dict -> cells
+    (SURVEY.md §2.6 op 36).  Driver-side helper mirroring the reference's
+    geometry_to_cells (h3ronpy/src/vector.rs:406-425)."""
+    from . import wkb as W
+
+    if hasattr(geom, "__geo_interface__"):
+        geom = geom.__geo_interface__
+    t = geom["type"].lower()
+    coords = geom.get("coordinates")
+
+    def rings(c):
+        return [np.asarray(r, dtype=float) for r in c]
+
+    if t == "point":
+        blob = W.write_point(coords[0], coords[1])
+    elif t == "linestring":
+        blob = W.write_linestring(coords)
+    elif t == "polygon":
+        blob = W.write_polygon(rings(coords))
+    elif t == "multipolygon":
+        blob = W.write_multipolygon([rings(p) for p in coords])
+    elif t == "multipoint":
+        blob = W.write_geometrycollection(
+            [W.write_point(p[0], p[1]) for p in coords]
+        )
+    elif t == "multilinestring":
+        blob = W.write_geometrycollection(
+            [W.write_linestring(line) for line in coords]
+        )
+    elif t == "geometrycollection":
+        cells = [
+            geometry_to_cells(g, res, containment_mode)
+            for g in geom["geometries"]
+        ]
+        out = (
+            np.unique(np.concatenate(cells))
+            if cells
+            else np.array([], dtype=np.int64)
+        )
+        return IDX.compact(out) if compact else out
+    else:
+        raise ValueError(f"unsupported geometry type {geom['type']!r}")
+    return wkb_to_cells(blob, res, containment_mode, compact=compact)

@@ -1,0 +1,44 @@
+"""Rasterize: cell+value DataFrame -> 2-D raster (SURVEY.md §2.7 op 40).
+
+The reference groups by value, dissolves each group's cells to polygons
+and burns them with rasterio (h3ronpy/python/h3ronpy/raster.py:140-213).
+Pixel-center-in-polygon burning is equivalent to pixel-center-in-cell for
+cell-aligned data, so the Spark-native inverse is: encode every output
+pixel center and join values by cell — no polygon dissolve needed, and
+the pixel grid can be partitioned into bands across executors for large
+rasters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..h3core.rasterh3 import cells_to_raster, nearest_h3_resolution  # noqa: F401
+
+
+def rasterize_cells(
+    df: DataFrame,
+    size: tuple[int, int],
+    transform,
+    cell_col: str = "cell",
+    value_col: str = "value",
+    nodata_value=0,
+    max_cells: int = 20_000_000,
+) -> np.ndarray:
+    """Collect (cell, value) pairs and paint the raster driver-side.
+
+    Guarded by max_cells: a raster's worth of cells is small by
+    construction (<= pixels); the returned array is a driver-side artifact
+    like the reference's."""
+    n = df.count()
+    if n > max_cells:
+        raise ValueError(f"{n} cells exceeds rasterize guard ({max_cells})")
+    pdf = df.select(cell_col, value_col).toPandas()
+    return cells_to_raster(
+        pdf[cell_col].to_numpy(np.int64),
+        pdf[value_col].to_numpy(),
+        size,
+        transform,
+        nodata_value=nodata_value,
+    )
