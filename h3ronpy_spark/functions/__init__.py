@@ -568,3 +568,54 @@ _SQL_FUNCS.update(
         "h3_directededges_parse": directededges_parse,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# composite Column helpers (ops 1, 3, 25, 29, 42-44 — thin combinations)
+# ---------------------------------------------------------------------------
+
+
+def change_resolution(df, cell_col: str, resolution: int):
+    """Op 1: resolution change with explode semantics (output length !=
+    input length; invalid/null omitted).  Returns a DataFrame."""
+    lst = change_resolution_list(F.col(cell_col), F.lit(resolution))
+    return (
+        df.withColumn("__cr", lst)
+        .withColumn(cell_col, F.explode("__cr"))
+        .drop("__cr")
+    )
+
+
+def change_resolution_paired(df, cell_col: str, resolution: int):
+    """Op 3: (cell_before, cell_after) pair table for cross-resolution
+    joins — explode keeps the 'before' column, so the pairing is free
+    (reference builds it manually: h3ronpy/src/op/resolution.rs:48-81)."""
+    lst = change_resolution_list(F.col(cell_col), F.lit(resolution))
+    return df.select(
+        F.col(cell_col).alias("cell_before"),
+        F.explode(lst).alias("cell_after"),
+    )
+
+
+def grid_ring_distances(cell: Column, k_min: int, k_max: int) -> Column:
+    """Op 25: annulus k_min <= k <= k_max, as filter over the disk."""
+    disk = grid_disk_distances(cell, F.lit(k_max))
+    return F.filter(disk, lambda s: s["k"] >= F.lit(k_min))
+
+
+def cells_bounds(df, cell_col: str = "cell"):
+    """Op 29: bbox of the whole cell column -> 1-row DataFrame
+    (minx, miny, maxx, maxy) — a native aggregation over per-cell bounds."""
+    b = cells_bounds_arrays(F.col(cell_col))
+    return df.select(b.alias("b")).agg(
+        F.min("b.minx").alias("minx"),
+        F.min("b.miny").alias("miny"),
+        F.max("b.maxx").alias("maxx"),
+        F.max("b.maxy").alias("maxy"),
+    )
+
+
+def cells_dataframe_to_wkb(df, cell_col: str = "cell",
+                           geom_col: str = "geometry"):
+    """Op 44: attach hexagon polygon WKB geometry column."""
+    return df.withColumn(geom_col, cells_to_wkb_polygons(F.col(cell_col)))
