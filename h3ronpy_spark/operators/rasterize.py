@@ -42,3 +42,28 @@ def rasterize_cells(
         transform,
         nodata_value=nodata_value,
     )
+
+
+def dissolve_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    cell_col: str = "cell",
+) -> DataFrame:
+    """link_cells dissolve per group: one (Multi)Polygon WKB per group
+    (the reference's rasterize pre-pass, h3ronpy/python/h3ronpy/raster.py:
+    177-200) — groupBy + applyInPandas, each group merged independently."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = [df.schema[c] for c in group_cols]
+    schema = T.StructType(list(out_fields) + [T.StructField("wkb", T.BinaryType())])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..h3core.dissolve import dissolve_to_wkb
+
+        cells = pdf[cell_col].to_numpy(np.int64)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["wkb"] = [dissolve_to_wkb(cells)]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(merge, schema)

@@ -164,3 +164,33 @@ class TestPolyfill:
         _, unc = IDX.uncompact(comp, 5)
         plain = PF.wkb_to_cells(blob, 5)
         assert set(unc.tolist()) == set(plain.tolist())
+
+
+class TestDissolve:
+    def test_children_dissolve_to_single_polygon(self):
+        from h3ronpy_spark.h3core.dissolve import dissolve_cells, dissolve_to_wkb
+
+        h5 = PF.latlng_to_cell(np.radians([45.5]), np.radians([10.2]), 5)
+        _, kids = IDX.cell_to_children_flat(h5, 7)
+        polys = dissolve_cells(kids)
+        assert len(polys) == 1 and len(polys[0]) == 1
+        # polyfill of the dissolved polygon reproduces the exact cell set
+        back = PF.wkb_to_cells(dissolve_to_wkb(kids), 7)
+        assert set(back.tolist()) == set(kids.tolist())
+
+    def test_donut_has_hole(self):
+        from h3ronpy_spark.h3core.dissolve import dissolve_cells
+        from h3ronpy_spark.h3core.grid import grid_disk_distances
+
+        c = PF.latlng_to_cell(np.radians([45.5]), np.radians([10.2]), 7)
+        _, cells, kk = grid_disk_distances(c, 2)
+        polys = dissolve_cells(cells[kk > 0])
+        assert len(polys) == 1 and len(polys[0]) == 2  # outer + hole
+
+    def test_disjoint_cells_two_polygons(self):
+        from h3ronpy_spark.h3core.dissolve import dissolve_cells
+
+        c = PF.latlng_to_cell(
+            np.radians([45.5, -10.0]), np.radians([10.2, 100.0]), 6
+        )
+        assert len(dissolve_cells(c)) == 2
