@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import h3ronpy_spark  # noqa: E402,F401  (sets kernel-thread env defaults)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -501,6 +503,59 @@ def _q_h3_grid_agg(spark, sf):
     return out.groupBy("k").agg(F.count("*").alias("n"))
 
 
+def _q_rollup_cube(spark, sf):
+    """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+def _q_semi_anti(spark, sf):
+    """Semi/anti joins: customers with vs without orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(int(with_o), int(without))], "n_with_orders long, n_without long"
+    )
+
+
+def _q_set_ops(spark, sf):
+    """INTERSECT / EXCEPT over key sets."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    inter = o.intersect(c).count()
+    diff = c.exceptAll(c.join(o, "k", "left_semi")).distinct().count()
+    return spark.createDataFrame(
+        [(int(inter), int(diff))], "n_intersect long, n_only_customers long"
+    )
+
+
+def _q_supplier_part_join(spark, sf):
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def _q_h3_edges(spark, sf):
     """Directed edges: origin/destination closure + length stats."""
     import h3ronpy_spark.functions as H
@@ -579,6 +634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "similarity_topk_cosine": _q_topk_cosine,
         "embedding_norms": _q_embedding_norms,
+        "rollup_cube": _q_rollup_cube,
+        "semi_anti_join": _q_semi_anti,
+        "set_ops": _q_set_ops,
+        "supplier_part_join": _q_supplier_part_join,
         # training-data pipeline ops (rows-only: hash fns not in DuckDB)
         "dedup_minhash_lsh": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
@@ -788,6 +847,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, round(sum(norm), 2) AS sum_norm,
                    count(*) AS n_vecs
             FROM t GROUP BY label
+        """,
+        "rollup_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "semi_anti_join": """
+            SELECT (SELECT count(*) FROM customer
+                    WHERE c_custkey IN (SELECT o_custkey FROM orders))
+                       AS n_with_orders,
+                   (SELECT count(*) FROM customer
+                    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+                       AS n_without
+        """,
+        "set_ops": """
+            SELECT (SELECT count(*) FROM
+                      (SELECT o_custkey AS k FROM orders
+                       INTERSECT SELECT c_custkey FROM customer))
+                       AS n_intersect,
+                   (SELECT count(DISTINCT c_custkey) FROM customer
+                    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+                       AS n_only_customers
+        """,
+        "supplier_part_join": """
+            SELECT s_name, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS total_price
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
         """,
         # golden-literal oracles for H3 parity rows
         "h3_golden_string": "SELECT '851f9923fffffff' AS cell_hex",
