@@ -3,12 +3,12 @@
 Reproduces h3ronpy's `grid_disk` / `grid_disk_distances` /
 `grid_ring_distances` / `grid_disk_aggregate_k` input kernels (SURVEY.md
 §2.5 ops 23-26).  Instead of porting H3's per-base-cell neighbor rotation
-tables, neighbors are found *geometrically*: for each boundary edge of a
-cell, a probe point just beyond the edge midpoint is encoded back to a cell
-at the same resolution.  This is exact because cell interiors are convex
-around their edge midpoints and the probe stays well inside the adjacent
-cell at every resolution (validated by symmetry + disk-size invariants in
-tests/test_h3core_grid.py, incl. around pentagons).
+tables, neighbors come from *lattice arithmetic*: translate the cell's
+face-plane axial coordinates by each unit direction and re-encode; rows
+that don't settle cleanly (pentagons, face-corner overflows) fall back to
+a geometric boundary-probe method.  Both agree exactly at every
+resolution (validated by equivalence + symmetry + disk-size invariants in
+tests/test_h3core.py).
 """
 
 from __future__ import annotations
@@ -25,7 +25,71 @@ def neighbors(h) -> tuple[np.ndarray, np.ndarray]:
     """All edge-adjacent cells of each input cell.
 
     Returns (row_index, neighbor_cell) flat arrays; 6 per hexagon,
-    5 per pentagon."""
+    5 per pentagon.  Fast path: translate the cell's face-plane axial
+    coords by each unit direction and re-encode (pure lattice arithmetic,
+    ~10x cheaper than boundary probing); rows that do not produce a clean
+    neighbor set (pentagons, far-corner overflows) fall back to the
+    geometric boundary-probe method."""
+    h = np.asarray(h, dtype=np.int64).ravel()
+    import h3ronpy_spark.h3core.index as IDXm
+
+    from .latlng import axial_to_cell, cell_to_fijk
+
+    n = h.shape[0]
+    face, c, res = cell_to_fijk(h)
+    a = c[:, 0] - c[:, 2]
+    b = c[:, 1] - c[:, 2]
+    # 6 unit translations per cell
+    from .latlng import _DIGIT_AXIAL
+
+    offs = _DIGIT_AXIAL[1:7]  # (6, 2)
+    aa = (a[:, None] + offs[:, 0][None, :]).ravel()
+    bb = (b[:, None] + offs[:, 1][None, :]).ravel()
+    ff = np.repeat(face, 6)
+    rr_ = np.repeat(res, 6)
+    cand = axial_to_cell(ff, aa, bb, rr_).reshape(n, 6)
+
+    rows_out = []
+    cells_out = []
+    pent = IDXm.is_pentagon(h)
+    valid_c = (cand != -1) & (cand != h[:, None])
+    # count distinct valid non-self candidates per row
+    sc = np.sort(np.where(valid_c, cand, np.int64(-1)), axis=1)
+    distinct = (sc[:, 1:] != sc[:, :-1]) & (sc[:, 1:] != -1)
+    ndist = distinct.sum(axis=1) + (sc[:, 0] != -1).astype(np.int64)
+    want = np.where(pent, 5, 6)
+    clean = ndist == want
+    if clean.any():
+        m = np.nonzero(clean)[0]
+        cm = cand[m]
+        vm = valid_c[m]
+        # emit distinct (row, cell) pairs
+        r6 = np.repeat(m, 6)
+        c6 = cm.ravel()
+        keep = vm.ravel()
+        r6, c6 = r6[keep], c6[keep]
+        order = np.lexsort((c6, r6))
+        r6, c6 = r6[order], c6[order]
+        dup = np.zeros(r6.shape, dtype=bool)
+        dup[1:] = (r6[1:] == r6[:-1]) & (c6[1:] == c6[:-1])
+        rows_out.append(r6[~dup])
+        cells_out.append(c6[~dup])
+    fb = np.nonzero(~clean)[0]
+    if fb.size:
+        fr, fc = _neighbors_geometric(h[fb])
+        rows_out.append(fb[fr])
+        cells_out.append(fc)
+    if not rows_out:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    rows = np.concatenate(rows_out)
+    cells = np.concatenate(cells_out)
+    order = np.lexsort((cells, rows))
+    return rows[order], cells[order]
+
+
+def _neighbors_geometric(h) -> tuple[np.ndarray, np.ndarray]:
+    """Boundary-probe neighbor finding (reference implementation and
+    fallback for rows the lattice fast path cannot settle)."""
     h = np.asarray(h, dtype=np.int64).ravel()
     lats, lngs, counts = cell_boundary(h)
     res = IDX.get_resolution(h)

@@ -149,6 +149,17 @@ def _latlng_to_cell_chunk(lat: np.ndarray, lng: np.ndarray, res) -> np.ndarray:
     y = r * np.sin(theta)
 
     a_all, b_all = IJK.hex2d_to_axial(x, y)
+    return axial_to_cell(face, a_all, b_all, res_arr, bad)
+
+
+def axial_to_cell(face, a_all, b_all, res_arr, bad=None) -> np.ndarray:
+    """Face-plane axial lattice coords at res -> cell index (the back half
+    of the encode pipeline; also used by the lattice-arithmetic neighbor
+    finder)."""
+    n = a_all.shape[0]
+    res_arr = np.broadcast_to(np.asarray(res_arr, dtype=np.int64), (n,))
+    if bad is None:
+        bad = np.zeros(n, dtype=bool)
 
     digits = np.full((n, 15), 7, dtype=np.int8)
     a0 = np.empty(n, dtype=np.int64)
