@@ -281,3 +281,24 @@ class TestStreaming:
         )
         assert got == want
         assert got > 0
+
+
+class TestHull:
+    def test_distributed_hull_equals_local(self, spark):
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.h3core.hull import (
+            cells_convex_hull_wkb,
+            spark_cells_convex_hull,
+        )
+        from h3ronpy_spark.h3core.wkb import parse_wkb
+
+        h5 = LL.latlng_to_cell(np.radians([45.5, 45.8]), np.radians([10.2, 10.6]), 5)
+        _, kids = IDX.cell_to_children_flat(h5, 7)
+        df = spark.createDataFrame([(int(c),) for c in kids], "cell long").repartition(4)
+        w_spark = spark_cells_convex_hull(df)
+        w_local = cells_convex_hull_wkb(kids)
+        ra = parse_wkb(w_spark)["polys"][0][0]
+        rb = parse_wkb(w_local)["polys"][0][0]
+        assert ra.shape == rb.shape
+        assert np.allclose(np.sort(ra, axis=0), np.sort(rb, axis=0))
