@@ -460,7 +460,7 @@ def _q_h3_pip_join(spark, sf):
     cells = pts.select(
         "doc_id", H.coordinates_to_cells("lat", "lng", F.lit(8)).alias("cell")
     )
-    polys = synth_polygons(spark, 25, seed=7)
+    polys = synth_polygons(spark, 120, seed=7)
     joined = pip_join(cells, polys, res=8)
     return joined.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 
