@@ -53,6 +53,7 @@ from .tables import (
 _NO_OVERAGE, _FACE_EDGE, _NEW_FACE = 0, 1, 2
 
 _SQRT7_POW = M_SQRT7 ** np.arange(0, 17)
+_POW7 = 7 ** np.arange(0, 9, dtype=np.int64)
 
 # axial diff -> digit LUT: index (da+1)*3 + (db+1)
 _AXIAL_DIGIT = np.array([1, 3, 7, 5, 0, 2, 7, 4, 6], dtype=np.int8)
@@ -245,8 +246,8 @@ def _adjust_overage(face, c, res_cii, pent_leading_4, substrate: bool):
     Returns (overage_code, face, c); res_cii per-row even resolution."""
     face = face.copy()
     c = c.copy()
-    max_dim = 2 * 7 ** (res_cii // 2)
-    unit_scale = 7 ** (res_cii // 2)
+    unit_scale = _POW7[res_cii >> 1]
+    max_dim = 2 * unit_scale
     if substrate:
         max_dim = max_dim * 3
         unit_scale = unit_scale * 3
@@ -343,10 +344,13 @@ def cell_to_fijk(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         subm = po & odd
         if subm.any():
             c_sub[subm] = IJK.down_ap7r(c_sub[subm])
-        # recompute lead on the (possibly cw-rotated) digits
-        lead_now = _lead_digit(np.where(
-            np.arange(1, 16) <= res[:, None], digits, np.int8(7)
-        ).astype(np.int8))
+        # recompute lead only if the lead-5 rotation changed digits
+        if lead5.size:
+            lead_now = _lead_digit(np.where(
+                np.arange(1, 16) <= res[:, None], digits, np.int8(7)
+            ).astype(np.int8))
+        else:
+            lead_now = lead
         pl4 = pent & (lead_now == 4)
         ov, nface, nc = _adjust_overage(face, c_sub, res2, pl4, False)
         adj = po & (ov != _NO_OVERAGE)
