@@ -73,7 +73,10 @@ def _cells_np(s: pd.Series) -> np.ndarray:
 
 
 def _to_cells_series(h: np.ndarray) -> pd.Series:
-    return pd.Series(h).astype("int64").mask(h == -1)
+    # nullable Int64, NOT .mask() on an int64 series: mask() coerces to
+    # float64, which silently corrupts cell ids (> 2^53) in any batch that
+    # contains a null row
+    return pd.Series(pd.arrays.IntegerArray(h.astype(np.int64), mask=(h == -1)))
 
 
 @pandas_udf(T.LongType())

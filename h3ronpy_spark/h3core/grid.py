@@ -160,11 +160,21 @@ def grid_disk_distances(h, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         dup = np.zeros(rows.shape, dtype=bool)
         dup[1:] = (rows[1:] == rows[:-1]) & (cells[1:] == cells[:-1])
         rows, cells = rows[~dup], cells[~dup]
-        # remove already-seen (rows, cells)
-        seen_key = seen_rows * np.int64(1 << 32) ^ (seen_cells & np.int64((1 << 62) - 1))
-        new_key = rows * np.int64(1 << 32) ^ (cells & np.int64((1 << 62) - 1))
-        fresh = ~np.isin(new_key, seen_key)
-        rows, cells = rows[fresh], cells[fresh]
+        # remove already-seen (rows, cells) — exact two-key anti-join via
+        # a merged lexsort (a packed/XOR key can collide and silently drop
+        # genuine disk cells)
+        seen_n = seen_rows.size
+        all_rows = np.concatenate([seen_rows, rows])
+        all_cells = np.concatenate([seen_cells, cells])
+        morder = np.lexsort((all_cells, all_rows))
+        sr, sc = all_rows[morder], all_cells[morder]
+        change = np.ones(sr.size, dtype=bool)
+        change[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
+        gid = np.cumsum(change) - 1
+        is_new = morder >= seen_n
+        has_seen = np.bincount(gid[~is_new], minlength=int(gid[-1]) + 1).astype(bool)
+        new_idx = morder[is_new & ~has_seen[gid]] - seen_n
+        rows, cells = rows[new_idx], cells[new_idx]
         if rows.size == 0:
             break
         out_rows.append(rows)

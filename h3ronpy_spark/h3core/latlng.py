@@ -33,9 +33,6 @@ from .constants import (
     M_AP7_ROT_RADS,
     M_SQRT7,
     RES0_U_GNOMONIC,
-    geo_az_distance,
-    geo_azimuth,
-    pos_angle,
 )
 from .tables import (
     AZ_FACE_I,
@@ -54,6 +51,31 @@ _NO_OVERAGE, _FACE_EDGE, _NEW_FACE = 0, 1, 2
 
 _SQRT7_POW = M_SQRT7 ** np.arange(0, 17)
 _POW7 = 7 ** np.arange(0, 9, dtype=np.int64)
+
+
+def _face_bases() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-face orthonormal tangent bases (u along the face i-axis azimuth,
+    v at azimuth - pi/2) plus their odd-resolution (Class III) rotations.
+
+    Lets the encode hot path compute gnomonic face-plane coordinates as
+      x = (p.u / p.c) * scale,  y = (p.v / p.c) * scale
+    — three dot products and one divide per point — instead of the
+    azimuth/arc formulation (atan2 + arccos + tan + mod), which profiling
+    showed was ~20% of the kernel."""
+    lng0 = FACE_CENTER_GEO[:, 1]
+    c = FACE_CENTER_XYZ
+    east = np.stack(
+        [-np.sin(lng0), np.cos(lng0), np.zeros(lng0.shape[0])], axis=1
+    )
+    north = np.cross(c, east)
+    az0 = AZ_FACE_I
+    u = north * np.cos(az0)[:, None] + east * np.sin(az0)[:, None]
+    v = north * np.sin(az0)[:, None] - east * np.cos(az0)[:, None]
+    cr, sr = np.cos(M_AP7_ROT_RADS), np.sin(M_AP7_ROT_RADS)
+    return u, v, u * cr + v * sr, v * cr - u * sr
+
+
+_FACE_U, _FACE_V, _FACE_U_ODD, _FACE_V_ODD = _face_bases()
 
 # axial diff -> digit LUT: index (da+1)*3 + (db+1)
 _AXIAL_DIGIT = np.array([1, 3, 7, 5, 0, 2, 7, 4, 6], dtype=np.int8)
@@ -132,22 +154,23 @@ def _latlng_to_cell_chunk(lat: np.ndarray, lng: np.ndarray, res) -> np.ndarray:
         lng = np.where(bad, 0.0, lng)
         res_arr = np.where(bad, 0, res_arr)
 
-    # --- project to (face, hex2d)
+    # --- project to (face, hex2d): gnomonic coordinates in the face's
+    # tangent basis (see _face_bases) — x = (p.u / p.c) * s, y likewise
     cl = np.cos(lat)
     xyz = np.empty((n, 3))
     xyz[:, 0] = cl * np.cos(lng)
     xyz[:, 1] = cl * np.sin(lng)
     xyz[:, 2] = np.sin(lat)
-    face = np.argmax(xyz @ FACE_CENTER_XYZ.T, axis=-1)
-    cosd = np.clip(np.sum(xyz * FACE_CENTER_XYZ[face], axis=-1), -1.0, 1.0)
-    dist = np.arccos(cosd)
-    az = geo_azimuth(FACE_CENTER_GEO[face, 0], FACE_CENTER_GEO[face, 1], lat, lng)
-    theta = pos_angle(AZ_FACE_I[face] - pos_angle(az))
+    scores = xyz @ FACE_CENTER_XYZ.T
+    face = np.argmax(scores, axis=-1)
+    pc = np.take_along_axis(scores, face[:, None], axis=-1)[:, 0]
     odd = (res_arr & 1) == 1
-    theta = np.where(odd, pos_angle(theta - M_AP7_ROT_RADS), theta)
-    r = np.tan(dist) * (_SQRT7_POW[res_arr] / RES0_U_GNOMONIC)
-    x = r * np.cos(theta)
-    y = r * np.sin(theta)
+    ob = odd[:, None]
+    U = np.where(ob, _FACE_U_ODD[face], _FACE_U[face])
+    V = np.where(ob, _FACE_V_ODD[face], _FACE_V[face])
+    s = _SQRT7_POW[res_arr] / (RES0_U_GNOMONIC * pc)
+    x = np.einsum("ij,ij->i", xyz, U) * s
+    y = np.einsum("ij,ij->i", xyz, V) * s
 
     a_all, b_all = IJK.hex2d_to_axial(x, y)
     return axial_to_cell(face, a_all, b_all, res_arr, bad)
@@ -377,29 +400,34 @@ def cell_to_fijk(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def fijk_to_geo(face, c, res, substrate: bool = False):
-    """Face-plane lattice coords -> (lat, lng) radians (no overage)."""
+    """Face-plane lattice coords -> (lat, lng) radians (no overage).
+
+    Inverse gnomonic via the same tangent bases as the encode: the sphere
+    direction is c + s*(x*U + y*V) (un-normalized is fine for atan2), which
+    replaces the azimuth/great-circle trig (arctan + geo_az_distance)."""
     face = np.asarray(face, dtype=np.int64)
     res = np.asarray(res, dtype=np.int64)
     v = IJK.ijk_to_hex2d(np.asarray(c, dtype=np.int64))
     x, y = v[..., 0], v[..., 1]
-    r = np.hypot(x, y)
-    theta = np.arctan2(y, x)
-    r = r / _SQRT7_POW[res]
     odd = (res & 1) == 1
+    s = RES0_U_GNOMONIC / _SQRT7_POW[res]
     if substrate:
-        r = r / 3.0
-        r = np.where(odd, r / M_SQRT7, r)
+        # substrate grids scale r instead of rotating theta for odd res
+        s = s / 3.0
+        s = np.where(odd, s / M_SQRT7, s)
+        U = _FACE_U[face]
+        V = _FACE_V[face]
     else:
-        theta = np.where(odd, theta + M_AP7_ROT_RADS, theta)
-    r = np.arctan(r * RES0_U_GNOMONIC)
-    az = AZ_FACE_I[face] - theta
-    lat0 = FACE_CENTER_GEO[face, 0]
-    lng0 = FACE_CENTER_GEO[face, 1]
-    lat, lng = geo_az_distance(lat0, lng0, az, r)
-    at_c = r < 1e-16
-    if np.any(at_c):
-        lat = np.where(at_c, lat0, lat)
-        lng = np.where(at_c, lng0, lng)
+        ob = odd[..., None]
+        U = np.where(ob, _FACE_U_ODD[face], _FACE_U[face])
+        V = np.where(ob, _FACE_V_ODD[face], _FACE_V[face])
+    D = (
+        FACE_CENTER_XYZ[face]
+        + (x * s)[..., None] * U
+        + (y * s)[..., None] * V
+    )
+    lat = np.arctan2(D[..., 2], np.hypot(D[..., 0], D[..., 1]))
+    lng = np.arctan2(D[..., 1], D[..., 0])
     return lat, lng
 
 

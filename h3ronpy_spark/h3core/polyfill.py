@@ -97,9 +97,12 @@ def _candidate_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
     maxx, maxy = allv.max(axis=0)
     cd = _EDGE_DEG[res]
     minx, miny, maxx, maxy = minx - cd, miny - cd, maxx + cd, maxy + cd
+    # no per-axis clamp: callers bound total cells via _est_cells budgets,
+    # and a clamp here would stretch the sample spacing past one cell width
+    # for high-aspect-ratio polygons, silently missing covering cells
     step = cd * 0.38
-    nx = min(int((maxx - minx) / step) + 2, 4096)
-    ny = min(int((maxy - miny) / step) + 2, 4096)
+    nx = int((maxx - minx) / step) + 2
+    ny = int((maxy - miny) / step) + 2
     gx = np.linspace(minx, maxx, nx)
     gy = np.linspace(miny, np.minimum(maxy, 89.999), ny)
     mx, my = np.meshgrid(gx, gy)

