@@ -268,3 +268,70 @@ class TestGridEquivalence:
             for d in range(1, k + 1):
                 ring = np.bincount(rows[kk == d], minlength=h.size)
                 assert (ring == 6 * d).all()
+
+
+class TestLocalIJCrossBase:
+    """Cross-base-cell localij (reference
+    crates/h3arrow/src/algorithm/localij.rs:94-144): pinned by lattice
+    invariants — exact roundtrip over k-rings straddling base-cell
+    boundaries, and axial hex distance == BFS grid distance away from
+    pentagons."""
+
+    def _ring_pairs(self):
+        from h3ronpy_spark.h3core.grid import grid_disk_distances
+
+        rng = np.random.default_rng(3)
+        lat = np.arcsin(rng.uniform(-1, 1, 200))
+        lng = rng.uniform(-np.pi, np.pi, 200)
+        anchors = LL.latlng_to_cell(lat, lng, 5)
+        rows, cells, kk = grid_disk_distances(anchors, 6)
+        return anchors[rows], cells, kk
+
+    def test_straddling_pairs_resolve_and_roundtrip(self):
+        from h3ronpy_spark.h3core.localij import (
+            FAIL,
+            cells_to_localij,
+            localij_to_cells,
+        )
+
+        anc, cells, _ = self._ring_pairs()
+        bc_a = IDX.get_base_cell(anc)
+        bc_c = IDX.get_base_cell(cells)
+        base = IDX.build_cell(
+            np.arange(122), np.zeros(122, dtype=np.int64), np.full((122, 15), 7)
+        )
+        pent = IDX.is_pentagon(base)
+        i, j = cells_to_localij(anc, cells)
+        ok = i != FAIL
+        straddle = bc_a != bc_c
+        assert straddle.sum() > 500  # the sample genuinely crosses bases
+        # every non-pentagon straddling pair resolves
+        hard = straddle & ~pent[bc_a] & ~pent[bc_c]
+        assert ok[hard].all()
+        # exact roundtrip for everything that resolved (incl. cross-base)
+        back = localij_to_cells(anc[ok], i[ok], j[ok])
+        assert (back == cells[ok]).all()
+
+    def test_hex_distance_matches_bfs_away_from_pentagons(self):
+        from h3ronpy_spark.h3core.localij import FAIL, cells_to_localij
+
+        anc, cells, kk = self._ring_pairs()
+        i, j = cells_to_localij(anc, cells)
+        ok = i != FAIL
+        ia, ja = cells_to_localij(anc[ok], anc[ok])
+        da, db = i[ok] - ia, j[ok] - ja
+        hexd = (np.abs(da) + np.abs(db) + np.abs(da - db)) // 2
+        base = IDX.build_cell(
+            np.arange(122), np.zeros(122, dtype=np.int64), np.full((122, 15), 7)
+        )
+        pent = IDX.is_pentagon(base)
+        nonpent = ~pent[IDX.get_base_cell(anc[ok])]
+        assert (hexd[nonpent] == kk[ok][nonpent]).all()
+
+    def test_golden_same_base_still_exact(self):
+        from h3ronpy_spark.h3core.localij import cells_to_localij
+
+        a = np.array([0x85283473FFFFFFF], dtype=np.int64)
+        c = np.array([0x8528342BFFFFFFF], dtype=np.int64)
+        i, j = cells_to_localij(a, c)
+        assert i[0] == 25 and j[0] == 13
