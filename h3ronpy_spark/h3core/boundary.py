@@ -67,19 +67,21 @@ def cell_boundary(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     ov, vface, vcoord = _adjust_overage(
         vface, vcoord, vres, np.zeros_like(vface, dtype=bool), True
     )
-    # pentagons can need repeated adjustment
-    for _ in range(3):
+    # pentagons can need repeated adjustment: keep adjusting every vertex
+    # still reporting NEW_FACE and ALWAYS accept the result (the previous
+    # code dropped adjustments that landed on a face edge, leaving those
+    # vertices on overflowed coords of the wrong face — measurably
+    # inflating class-II pentagon areas by ~0.5%)
+    for _ in range(4):
         pend = vpent & (ov == 2)
         if not pend.any():
             break
         ov2, vface2, vcoord2 = _adjust_overage(
             vface, vcoord, vres, np.zeros_like(vface, dtype=bool), True
         )
-        upd = pend & (ov2 == 2)
-        if not upd.any():
-            break
-        vface = np.where(upd, vface2, vface)
-        vcoord = np.where(upd[:, None], vcoord2, vcoord)
+        vface = np.where(pend, vface2, vface)
+        vcoord = np.where(pend[:, None], vcoord2, vcoord)
+        ov = np.where(pend, ov2, ov)
 
     vlat, vlng = fijk_to_geo(vface, vcoord, vres, substrate=True)
     vlat = vlat.reshape(n, 6)
@@ -91,7 +93,30 @@ def cell_boundary(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     lngs = np.full((n, MAXV), np.nan)
     counts = np.zeros(n, dtype=np.int64)
 
-    # class-III cells whose consecutive vertices changed faces need an
+    # class-III pentagons: every boundary edge between vertices on
+    # different faces crosses an icosahedron edge and needs an inserted
+    # distortion vertex (up to 5 extra; handled in its own path because
+    # the intersection must be computed pairwise in the LAST vertex's
+    # face chart — the home-face chart cannot represent all 5 faces
+    # around the pentagon's icosa vertex)
+    pent_ins = odd & pent & valid
+    if pent_ins.any():
+        vcoord_r = vcoord.reshape(n, 6, 3)
+        for ii in np.nonzero(pent_ins)[0]:
+            pl, pg = _pentagon_boundary_with_distortion(
+                int(nv[ii]),
+                vface[ii],
+                vcoord_r[ii],
+                vlat[ii],
+                vlng[ii],
+                int(adj_res[ii]),
+            )
+            kk2 = min(len(pl), MAXV)
+            lats[ii, :kk2] = pl[:kk2]
+            lngs[ii, :kk2] = pg[:kk2]
+            counts[ii] = kk2
+
+    # class-III hexagons whose consecutive vertices changed faces need an
     # inserted icosahedron-edge intersection vertex
     need_ins = odd & (~pent)
     prev_face = np.roll(vface, 1, axis=1)
@@ -99,7 +124,7 @@ def cell_boundary(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     crosses = need_ins[:, None] & (vface != prev_face) & (prev_ov != 1)
     any_cross = crosses.any(axis=1)
 
-    simple = ~any_cross
+    simple = ~any_cross & ~pent_ins
     if simple.any():
         m = np.nonzero(simple)[0]
         k = nv[m]
@@ -167,6 +192,84 @@ def cell_boundary(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     counts = np.where(valid, counts, 0)
     return lats, lngs, counts
+
+
+def _quad_of(f: int, g: int) -> int:
+    """Which quad direction of face f points at adjacent face g (0 if not
+    adjacent)."""
+    for q in (IJ_QUAD, KI_QUAD, JK_QUAD):
+        if FACE_NEIGHBOR_FACE[f, q] == g:
+            return q
+    return 0
+
+
+def _pentagon_boundary_with_distortion(
+    kk: int, vface_row, vcoord_row, vlat_row, vlng_row, adj_res: int
+):
+    """Class-III pentagon boundary with icosahedron-edge distortion
+    vertices: every edge whose endpoints sit on different faces crosses an
+    icosa edge; the intersection is computed pairwise in the LAST vertex's
+    face chart (the current vertex is lattice-unfolded onto that chart via
+    the face-neighbor rotation+translate — the home-face chart cannot
+    represent all 5 faces around the pentagon's icosahedron vertex).
+    Mirrors the reference's pentagon boundary path (h3o/h3 faceijk
+    _faceIjkPentToGeoBoundary semantics)."""
+    from .tables import FACE_NEIGHBOR_CCWROT, FACE_NEIGHBOR_TRANSLATE
+
+    unit_scale = (7 ** (adj_res // 2)) * 3  # substrate
+    M = 2.0 * unit_scale  # substrate max_dim = icosa corner radius
+    sq32 = np.sqrt(3.0) / 2.0
+    v0 = np.array([M, 0.0])
+    v1 = np.array([-0.5 * M, sq32 * M])
+    v2 = np.array([-0.5 * M, -sq32 * M])
+
+    pts_lat: list[float] = []
+    pts_lng: list[float] = []
+
+    def _push(la: float, lo: float) -> None:
+        if not pts_lat or abs(pts_lat[-1] - la) > 1e-12 or abs(
+            pts_lng[-1] - lo
+        ) > 1e-12:
+            pts_lat.append(la)
+            pts_lng.append(lo)
+
+    for v in range(kk):
+        last = (v + kk - 1) % kk
+        fC = int(vface_row[v])
+        fL = int(vface_row[last])
+        if fC != fL:
+            qCL = _quad_of(fC, fL)
+            qLC = _quad_of(fL, fC)
+            if qCL and qLC:
+                # unfold the current vertex onto fL's chart
+                cc = vcoord_row[v].astype(np.int64)[None, :].copy()
+                for _ in range(int(FACE_NEIGHBOR_CCWROT[fC, qCL])):
+                    cc = IJK.rotate60ccw(cc)
+                cc = IJK.normalize(
+                    cc + FACE_NEIGHBOR_TRANSLATE[fC, qCL][None, :] * unit_scale
+                )
+                o1 = IJK.ijk_to_hex2d(cc)[0]
+                o0 = IJK.ijk_to_hex2d(
+                    vcoord_row[last].astype(np.int64)[None, :]
+                )[0]
+                if qLC == IJ_QUAD:
+                    e0, e1 = v0, v1
+                elif qLC == JK_QUAD:
+                    e0, e1 = v1, v2
+                else:
+                    e0, e1 = v2, v0
+                d1 = o1 - o0
+                d2 = e1 - e0
+                den = d1[0] * d2[1] - d1[1] * d2[0]
+                if abs(den) > 1e-12:
+                    t = (
+                        (e0[0] - o0[0]) * d2[1] - (e0[1] - o0[1]) * d2[0]
+                    ) / den
+                    ip = o0 + t * d1
+                    ilat, ilng = _hex2d_point_to_geo(ip, fL, adj_res)
+                    _push(float(ilat), float(ilng))
+        _push(float(vlat_row[v]), float(vlng_row[v]))
+    return pts_lat, pts_lng
 
 
 def _hex2d_point_to_geo(xy, face: int, res: int):
