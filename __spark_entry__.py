@@ -646,6 +646,41 @@ def _q_h3_vertexes(spark, sf):
     )
 
 
+def _q_h3_hulls(spark, sf):
+    """Convex + concave hull aggregates over a cell set (SURVEY.md §2.10
+    item 47): vertex counts and planar ring areas, hulled distributively
+    (per-partition reduction, driver merge)."""
+    import numpy as np
+
+    import h3ronpy_spark.functions as H
+    from h3ronpy_spark.h3core.hull import (
+        spark_cells_concave_hull,
+        spark_cells_convex_hull,
+    )
+    from h3ronpy_spark.h3core.wkb import parse_wkb
+
+    pts = _docs_points(spark, sf).filter(F.col("doc_id") < 500)
+    cells = pts.select(
+        H.coordinates_to_cells(
+            (F.col("lat") / 8 + 40.0), (F.col("lng") / 8 + 10.0), F.lit(6)
+        ).alias("cell")
+    )
+
+    def ring_stats(wkb):
+        ring = parse_wkb(wkb)["polys"][0][0][:-1]
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        return ring.shape[0], float(area)
+
+    nv_cv, a_cv = ring_stats(spark_cells_convex_hull(cells))
+    nv_cc, a_cc = ring_stats(spark_cells_concave_hull(cells, concavity=2.0))
+    return spark.createDataFrame(
+        [(nv_cv, nv_cc, round(a_cv, 6), round(a_cc, 6), a_cc <= a_cv)],
+        "n_convex_verts int, n_concave_verts int, "
+        "convex_area double, concave_area double, concave_within boolean",
+    )
+
+
 def _q_h3_res_stats(spark, sf):
     """Per-resolution stats (op 17): exact cell counts + average areas.
     Fully oracle-checkable: both derive from the closed forms the grid
@@ -706,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_tiling": _q_h3_tiling,
         "h3_wkb": _q_h3_wkb_points,
         "h3_grid_disk_agg": _q_h3_grid_agg,
+        "h3_hulls": _q_h3_hulls,
         "h3_edges": _q_h3_edges,
         "h3_vertexes": _q_h3_vertexes,
         "h3_res_stats": _q_h3_res_stats,
@@ -953,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
                 "h3_tiling",
                 "h3_wkb",
                 "h3_grid_disk_agg",
+                "h3_hulls",
                 "h3_edges",
                 "h3_vertexes",
             )

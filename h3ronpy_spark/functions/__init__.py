@@ -244,6 +244,15 @@ def cells_area_m2(cell: pd.Series) -> pd.Series:
     return pd.Series(a).mask(~cell.notna().to_numpy())
 
 
+@pandas_udf(T.DoubleType())
+def cells_area_rads2(cell: pd.Series) -> pd.Series:
+    """Exact spherical area in steradians (op 15, rads2 variant)."""
+    from h3ronpy_spark.h3core.boundary import cell_area_rads2 as area
+
+    a = area(_cells_np(cell))
+    return pd.Series(a).mask(~cell.notna().to_numpy())
+
+
 @pandas_udf(
     T.StructType(
         [

@@ -378,3 +378,72 @@ class TestPentagonBoundary:
             _, cells = IDX.cell_to_children_flat(res0, r)
             tot = cell_area_km2(cells).sum()
             assert abs(tot - sphere) / sphere < 1e-9, (r, tot)
+
+
+class TestConcaveHull:
+    """Concave hull invariants (reference delegates to the geo crate's
+    ConcaveHull, crates/h3arrow/src/algorithm/concave_hull.rs:9-31):
+    contained in the convex hull, area monotone in concavity, and every
+    input point stays inside-or-on the hull."""
+
+    @staticmethod
+    def _area(ring):
+        x, y = ring[:, 0], ring[:, 1]
+        return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+    @staticmethod
+    def _dist_to_ring(p, ring):
+        out = np.inf
+        for k in range(len(ring)):
+            a, b = ring[k], ring[(k + 1) % len(ring)]
+            d = b - a
+            t = np.clip(np.dot(p - a, d) / max(np.dot(d, d), 1e-300), 0, 1)
+            out = min(out, float(np.hypot(*(p - a - t * d))))
+        return out
+
+    def test_invariants_on_l_shape(self):
+        from h3ronpy_spark.h3core.hull import concave_hull, convex_hull
+        from h3ronpy_spark.h3core.polyfill import _pip
+
+        rng = np.random.default_rng(0)
+        pts = np.vstack(
+            [
+                rng.uniform([0, 0], [1, 3], (400, 2)),
+                rng.uniform([1, 0], [3, 1], (400, 2)),
+            ]
+        )
+        cv_area = self._area(convex_hull(pts))
+        prev = None
+        for conc in (8.0, 4.0, 2.0):
+            ch = concave_hull(pts, conc)
+            a = self._area(ch)
+            assert a <= cv_area + 1e-9
+            if prev is not None:
+                assert a <= prev + 1e-9  # smaller concavity digs deeper
+            prev = a
+            # containment: every point is inside or on the ring
+            ring = np.vstack([ch, ch[:1]])
+            cen = pts.mean(0)
+            inside = _pip(
+                pts[:, 0] + (cen[0] - pts[:, 0]) * 1e-9,
+                pts[:, 1] + (cen[1] - pts[:, 1]) * 1e-9,
+                [ring],
+            )
+            for p in pts[~inside]:
+                assert self._dist_to_ring(p, ch) < 1e-9  # on the boundary
+
+    def test_cells_concave_hull_wkb(self):
+        from h3ronpy_spark.h3core.hull import (
+            cells_concave_hull_wkb,
+            cells_convex_hull_wkb,
+        )
+        from h3ronpy_spark.h3core.wkb import parse_wkb
+
+        rng = np.random.default_rng(5)
+        lat = np.radians(45 + rng.uniform(-1, 1, 200))
+        lng = np.radians(10 + rng.uniform(-1, 1, 200))
+        cells = LL.latlng_to_cell(lat, lng, 7)
+        wc = parse_wkb(cells_convex_hull_wkb(cells))["polys"][0][0]
+        wk = parse_wkb(cells_concave_hull_wkb(cells, 2.0))["polys"][0][0]
+        assert self._area(wk[:-1]) <= self._area(wc[:-1]) + 1e-12
+        assert wk.shape[0] >= wc.shape[0]  # digging only adds vertices

@@ -1,0 +1,89 @@
+"""Reference API-parity surface: error paths and option flags mirrored
+from the reference's own tests (cited per test)."""
+
+import numpy as np
+import pytest
+
+from h3ronpy_spark import arrays as A
+
+
+class TestParseErrorPaths:
+    # h3ronpy/tests/arrow/test_utf8.py:22-39
+    def test_parse_cell_fail_raises(self):
+        with pytest.raises(ValueError, match="non-parsable CellIndex"):
+            A.cells_parse(np.array(["invalid"]))
+
+    def test_parse_cell_set_invalid(self):
+        cells = A.cells_parse(np.array(["invalid"]), set_failing_to_invalid=True)
+        assert len(cells) == 1
+        from h3ronpy_spark.h3core import index as IDX
+
+        assert not IDX.is_valid_cell(cells)[0]
+
+    def test_parse_both_forms_equal(self):
+        # h3ronpy/tests/arrow/test_utf8.py:9-13
+        cells = A.cells_parse(np.array(["851f9923fffffff", "10.2, 45.5, 5"]))
+        assert cells[0] == cells[1]
+
+
+class TestCompactFlags:
+    # h3ronpy/tests/arrow/test_compact.py:27-33
+    def _mixed(self):
+        c8 = A.coordinates_to_cells([10.3], [45.1], 8)
+        c9 = A.coordinates_to_cells([10.3], [45.1], 9)
+        return np.concatenate([c8, c9])
+
+    def test_compact_mixed_fail(self):
+        with pytest.raises(ValueError, match="heterogen"):
+            A.compact(self._mixed())
+
+    def test_compact_mixed_allowed(self):
+        out = A.compact(self._mixed(), mixed_resolutions=True)
+        assert out.size == 2
+
+    def test_compact_uniform_ok(self):
+        c = A.coordinates_to_cells([10.3], [45.1], 8)
+        kids = A.uncompact(c, 9)
+        assert A.compact(kids).tolist() == c.tolist()
+
+
+class TestRadiansFlags:
+    # h3ronpy/python/h3ronpy/vector.py:11-36
+    def test_coordinates_roundtrip_radians(self):
+        lat_d, lng_d = np.array([45.5]), np.array([10.2])
+        c1 = A.coordinates_to_cells(lat_d, lng_d, 5)
+        c2 = A.coordinates_to_cells(
+            np.radians(lat_d), np.radians(lng_d), 5, radians=True
+        )
+        assert c1.tolist() == c2.tolist()
+        la_r, lo_r = A.cells_to_coordinates(c1, radians=True)
+        la_d, lo_d = A.cells_to_coordinates(c1)
+        assert np.allclose(np.degrees(la_r), la_d)
+        assert np.allclose(np.degrees(lo_r), lo_d)
+
+    def test_wkb_radians_scaled(self):
+        from h3ronpy_spark.h3core.wkb import parse_wkb
+
+        c = A.coordinates_to_cells([45.5], [10.2], 5)
+        deg = parse_wkb(A.cells_to_wkb_polygons(c)[0])["polys"][0][0]
+        rad = parse_wkb(A.cells_to_wkb_polygons(c, radians=True)[0])["polys"][0][0]
+        assert np.allclose(np.radians(deg), rad)
+
+    def test_wkb_link_cells_multipolygon(self):
+        c = A.uncompact(A.coordinates_to_cells([45.5], [10.2], 5), 7)
+        blobs = A.cells_to_wkb_polygons(c, link_cells=True)
+        assert len(blobs) == 1  # one dissolved multipolygon for the array
+        from h3ronpy_spark.h3core.wkb import parse_wkb
+
+        polys = parse_wkb(blobs[0])["polys"]
+        assert len(polys) == 1  # contiguous children dissolve to one poly
+
+
+class TestAreaTrio:
+    def test_rads2_km2_m2_consistent(self):
+        c = A.coordinates_to_cells([45.5], [10.2], 5)
+        r2 = A.cells_area_rads2(c)[0]
+        km2 = A.cells_area_km2(c)[0]
+        m2 = A.cells_area_m2(c)[0]
+        assert abs(km2 - r2 * 6371.007180918475**2) / km2 < 1e-12
+        assert abs(m2 - km2 * 1e6) / m2 < 1e-12

@@ -43,6 +43,7 @@ GOLDEN_QUERIES = [
     "h3_tiling",
     "h3_wkb",
     "h3_grid_disk_agg",
+    "h3_hulls",
     "h3_edges",
     "h3_vertexes",
 ]
