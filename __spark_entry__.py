@@ -292,6 +292,37 @@ def _q_ann_recall(spark, sf):
     return ann_recall(emb, q, k=10, n_bands=8, planes_per_band=4)
 
 
+def _q_image_resize(spark, sf):
+    """Resize + feature plumbing: per-image mean/std of the 16x12 bilinear
+    resample of deterministic synth images (multimodal operator surface)."""
+    from h3ronpy_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+    from h3ronpy_spark.sources.images import synth_images
+
+    imgs = synth_images(spark, 200, seed=42)
+    feats = extract_image_features(resize_images(imgs, 16, 12, "bilinear"))
+    return feats.select(
+        "image_id",
+        F.round(F.col("embedding")[0].cast("double"), 3).alias("mean_px"),
+        F.round(F.col("embedding")[1].cast("double"), 3).alias("std_px"),
+    )
+
+
+def _q_video_frames(spark, sf):
+    """Video frame sampling: every 10th frame of 24-frame raw8 videos."""
+    from h3ronpy_spark.operators.multimodal import sample_frames, synth_videos
+
+    vids = synth_videos(spark, 50, n_frames=24, w=16, h=8, seed=7)
+    frames = sample_frames(vids, every_n=10)
+    return frames.groupBy("video_id").agg(
+        F.count("*").alias("n_frames_sampled"),
+        F.sum("frame_idx").alias("sum_idx"),
+        F.sum(F.length("bytes")).alias("sum_bytes"),
+    )
+
+
 def _q_topk_cosine(spark, sf):
     from h3ronpy_spark.operators.similarity import brute_force_topk
 
@@ -730,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "similarity_lsh_ann": _q_lsh_ann,
         "ann_recall_at_10": _q_ann_recall,
+        "image_resize_features": _q_image_resize,
+        "video_frame_sample": _q_video_frames,
         # H3 grid engine (golden-literal oracles where possible)
         "h3_golden_string": _q_h3_golden_string,
         "h3_golden_localij": _q_h3_golden_localij,
@@ -984,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_simhash_pairs",
                 "similarity_lsh_ann",
                 "ann_recall_at_10",
+                "image_resize_features",
+                "video_frame_sample",
                 "h3_encode",
                 "h3_parent_rollup",
                 "h3_compact_roundtrip",

@@ -72,3 +72,100 @@ def run_available_now(df: DataFrame, checkpoint_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessionization with a `gap_s` inactivity split, state carried across
+    micro-batches.
+
+    Emits one row per session: (user_id, session_start, session_end,
+    n_events).  The in-flight session survives in GroupState between
+    triggers, so a user whose events span micro-batches still gets ONE
+    session — the semantics a batch window-lag job (events_sessions query)
+    computes over the same data, which the test asserts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    batch = spark.read.parquet(input_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(input_dir)
+    ev = stream.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    out_type = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        out = []
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].astype("int64") // 1000
+            ).sort_values().to_numpy()  # microseconds
+            for t in ts_us:
+                t = int(t)
+                if start_us < 0:
+                    start_us = last_us = t
+                    n = 1
+                elif t - last_us > gap_s * 1_000_000:
+                    out.append((start_us, last_us, n))
+                    start_us = last_us = t
+                    n = 1
+                else:
+                    last_us = max(last_us, t)
+                    n += 1
+        # emit the in-flight session too (its row is refined if the user
+        # reappears in a later trigger; the final trigger's emission is
+        # the complete session) and keep it in state
+        if start_us >= 0:
+            out.append((start_us, last_us, n))
+            state.update((start_us, last_us, n))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "session_start": pd.to_datetime(
+                    [o[0] for o in out], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [o[1] for o in out], unit="us"
+                ),
+                "n_events": [o[2] for o in out],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_type,
+        state_type,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

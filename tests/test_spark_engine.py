@@ -363,3 +363,131 @@ class TestSimhash:
         assert (1, 4) in pairs and pairs[(1, 4)] == 0  # identical
         assert (1, 2) in pairs  # near-dup within hamming budget
         assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+class TestMultimodal:
+    def test_resize_dims_and_integer_factor_exactness(self, spark):
+        import numpy as np
+
+        from h3ronpy_spark.operators.multimodal import resize_images
+        from h3ronpy_spark.sources.images import decode_image, synth_images
+
+        imgs = synth_images(spark, 4, seed=42)
+        orig = {r["image_id"]: r for r in imgs.collect()}
+        out = {r["image_id"]: r for r in resize_images(imgs, 16, 12, "nearest").collect()}
+        assert set(out) == set(orig)
+        for iid, r in out.items():
+            assert (r["w"], r["h"], r["fmt"]) == (16, 12, "raw8")
+            band = np.frombuffer(r["bytes"], np.uint8).reshape(12, 16)
+            o = orig[iid]
+            full = decode_image(bytes(o["bytes"]), o["w"], o["h"], o["fmt"])
+            # nearest with integer factors picks exact source pixels
+            fy, fx = full.shape[0] // 12, full.shape[1] // 16
+            if full.shape[0] % 12 == 0 and full.shape[1] % 16 == 0:
+                assert (band == full[::fy, ::fx][:12, :16]).all()
+
+    def test_bilinear_constant_image_invariant(self, spark):
+        import numpy as np
+
+        from h3ronpy_spark.operators.multimodal import _resize_band
+
+        const = np.full((20, 30), 77, np.uint8)
+        assert (_resize_band(const, 13, 7, "bilinear") == 77).all()
+
+    def test_features_deterministic_and_usable_by_ann(self, spark):
+        from h3ronpy_spark.operators.multimodal import extract_image_features
+        from h3ronpy_spark.operators.similarity import brute_force_topk
+        from h3ronpy_spark.sources.images import synth_images
+
+        imgs = synth_images(spark, 8, seed=42)
+        f1 = extract_image_features(imgs).collect()
+        f2 = extract_image_features(imgs).collect()
+        e1 = {r["image_id"]: r["embedding"] for r in f1}
+        e2 = {r["image_id"]: r["embedding"] for r in f2}
+        assert e1 == e2 and all(len(v) == 12 for v in e1.values())
+        # the embeddings plug straight into the similarity operators
+        import pyspark.sql.functions as F
+
+        emb = extract_image_features(imgs).select(
+            F.col("image_id").alias("vec_id"), F.col("embedding")
+        )
+        q = emb.limit(1).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        top = brute_force_topk(emb, q, k=3)
+        assert top.count() == 3
+
+    def test_frame_sampling_exact_slices(self, spark):
+        import numpy as np
+
+        from h3ronpy_spark.operators.multimodal import sample_frames, synth_videos
+
+        vids = synth_videos(spark, 6, n_frames=24, w=8, h=4, seed=7)
+        frames = sample_frames(vids, every_n=10).collect()
+        by_vid = {}
+        for r in frames:
+            by_vid.setdefault(r["video_id"], []).append(r)
+        assert all(len(v) == 3 for v in by_vid.values())  # frames 0,10,20
+        # frame fi = frame 0 + fi (clipped) by construction
+        for vid, rows in by_vid.items():
+            rows.sort(key=lambda r: r["frame_idx"])
+            f0 = np.frombuffer(rows[0]["bytes"], np.uint8).astype(np.int64)
+            for r in rows[1:]:
+                fi = np.frombuffer(r["bytes"], np.uint8).astype(np.int64)
+                assert (fi == np.clip(f0 + r["frame_idx"], 0, 255)).all()
+
+    def test_codec_stub_raises_for_video(self, spark):
+        import pytest as _pytest
+
+        from h3ronpy_spark.operators.multimodal import sample_frames
+
+        vids = spark.createDataFrame(
+            [("v0", b"\x00" * 64, 8, 4, "h264", 2)],
+            "video_id string, bytes binary, w int, h int, fmt string, n_frames int",
+        )
+        with _pytest.raises(Exception, match="not available"):
+            sample_frames(vids, 1).collect()
+
+
+class TestStatefulStreaming:
+    def test_stateful_sessions_match_batch(self, spark, tmp_path):
+        import shutil
+
+        from h3ronpy_spark.streaming import stream_user_sessions
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        d = str(tmp_path / "events")
+        shutil.copytree(src, d) if os.path.isdir(src) else shutil.copy(
+            src, d + ".parquet"
+        ) or None
+        in_dir = d if os.path.isdir(d) else str(tmp_path)
+        sess = stream_user_sessions(spark, in_dir, gap_s=1800)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sessions_stateful")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.sql(
+                "select user_id, count(*) as n_sessions, sum(n_events) as n_events "
+                "from sessions_stateful group by user_id"
+            )
+            .toPandas()
+            .set_index("user_id")
+        )
+        # batch ground truth: the events_sessions contract query
+        import __spark_entry__ as E
+
+        want = (
+            E.queries()["events_sessions"](spark, "/root/testdata/sf0.001")
+            .toPandas()
+            .set_index("user_id")
+        )
+        assert set(got.index) == set(want.index)
+        for uid in want.index:
+            assert got.loc[uid, "n_sessions"] == want.loc[uid, "n_sessions"]
+            assert got.loc[uid, "n_events"] == want.loc[uid, "n_events"]

@@ -35,6 +35,8 @@ GOLDEN_QUERIES = [
     "dedup_simhash_pairs",
     "similarity_lsh_ann",
     "ann_recall_at_10",
+    "image_resize_features",
+    "video_frame_sample",
     "h3_encode",
     "h3_parent_rollup",
     "h3_compact_roundtrip",
