@@ -153,11 +153,12 @@ def main() -> None:
     if "flagship" in SECTIONS:
         flagship(spark, n_images=2000, n_polygons=10, res=8, partitions=CPUS).count()
 
-        # --- flagship image pipeline (min of 2: first run absorbs the fresh
-        # worker pool's warm-up)
+        # --- flagship image pipeline (min of 3: first run absorbs the
+        # fresh worker pool's warm-up; a third rep rides out co-tenant
+        # steal bursts)
         flag_runs = []
         agg = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             out = flagship(
                 spark, n_images=N_IMAGES, n_polygons=60, res=9, partitions=256

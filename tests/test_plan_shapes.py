@@ -90,3 +90,43 @@ class TestPlans:
         )
         plan = _plan(out)
         assert plan.count("ArrowEvalPython") == 1, plan
+
+
+class TestLiftedCoverage:
+    def test_lifted_join_still_broadcast_with_fewer_prefixes(self, spark):
+        from h3ronpy_spark.operators.spatial_join import (
+            lift_coverage,
+            pip_join,
+            polyfill_polygons,
+        )
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        polys = synth_polygons(spark, 10, seed=42)
+        cov = polyfill_polygons(polys, 7, compact=True).withColumnRenamed(
+            "cell", "__poly_cell"
+        )
+        lifted = lift_coverage(cov, 5).persist()
+        lifted.count()
+        pts = spark.range(1000).select(
+            H.coordinates_to_cells(
+                (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0 - 85.0),
+                (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0 - 180.0),
+                F.lit(9),
+            ).alias("cell")
+        )
+        joined = pip_join(pts, polys, res=7, coverage=lifted)
+        plan = _plan(joined)
+        assert "BroadcastHashJoin" in plan
+        # lifting must not change results vs the unlifted coverage
+        unlifted = pip_join(pts, polys, res=7, coverage=cov.persist())
+        a = sorted(r["poly_id"] for r in joined.select("poly_id").collect())
+        b = sorted(r["poly_id"] for r in unlifted.select("poly_id").collect())
+        assert a == b
+        # coverage resolutions are confined to [5, 7]
+        rs = sorted(
+            r["r"]
+            for r in lifted.select(
+                H.cells_resolution(F.col("__poly_cell")).alias("r")
+            ).distinct().collect()
+        )
+        assert rs and rs[0] >= 5 and rs[-1] <= 7
