@@ -133,6 +133,17 @@ def main() -> None:
             t0 = time.time()
             n_joined = job.first()[0]
             runs.append(time.time() - t0)
+        # adaptive: a warm-rep spread > 2x means a co-tenant steal burst
+        # hit the window — buy up to 5 more reps hunting for a quiet one
+        extra_reps = 0
+        while (
+            extra_reps < 5
+            and max(runs[1:]) / max(min(runs[1:]), 1e-9) > 2.0
+        ):
+            t0 = time.time()
+            n_joined = job.first()[0]
+            runs.append(time.time() - t0)
+            extra_reps += 1
         scaling_secs = min(runs[1:])  # rep 1 includes worker warm-up
         total_rows = N_POINTS
         results["scaling_pip"] = round(scaling_secs, 2)
@@ -158,6 +169,7 @@ def main() -> None:
         # steal bursts)
         flag_runs = []
         agg = None
+        # 3 reps + up to 2 adaptive extras when a steal burst hits
         for _ in range(3):
             t0 = time.time()
             out = flagship(
@@ -165,6 +177,17 @@ def main() -> None:
             )
             agg = out.agg(F.sum("n_tiles").alias("tiles")).first()
             flag_runs.append(time.time() - t0)
+        fextra = 0
+        while fextra < 2 and max(flag_runs[1:]) / max(
+            min(flag_runs[1:]), 1e-9
+        ) > 1.5:
+            t0 = time.time()
+            out = flagship(
+                spark, n_images=N_IMAGES, n_polygons=60, res=9, partitions=256
+            )
+            agg = out.agg(F.sum("n_tiles").alias("tiles")).first()
+            flag_runs.append(time.time() - t0)
+            fextra += 1
         flag_secs = min(flag_runs)
         results["flagship_pip_join"] = round(flag_secs, 2)
         extra["flagship_runs"] = [round(x, 2) for x in flag_runs]
