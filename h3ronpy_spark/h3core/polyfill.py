@@ -47,21 +47,37 @@ def _pip(plng: np.ndarray, plat: np.ndarray, rings: list[np.ndarray]) -> np.ndar
     """Even-odd point-in-polygon over all rings (holes included by parity).
 
     Operates on plain lng/lat planar coordinates (matching the reference's
-    planar geo-types polyfill)."""
-    inside = np.zeros(plng.shape, dtype=bool)
+    planar geo-types polyfill).  Points are y-sorted once and each edge
+    only touches the searchsorted slice inside its y-span — O(E log N +
+    crossings) instead of the dense (points x edges) matrix, which was the
+    polyfill hot spot for big candidate sets."""
+    plng = np.asarray(plng, dtype=np.float64)
+    plat = np.asarray(plat, dtype=np.float64)
+    n = plng.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(plat, kind="stable")
+    sy = plat[order]
+    sx = plng[order]
+    flips = np.zeros(n, dtype=np.int64)
     for ring in rings:
         x = ring[:, 0]
         y = ring[:, 1]
-        x0, y0 = x[:-1], y[:-1]
-        x1, y1 = x[1:], y[1:]
-        # vectorized over (points, edges)
-        px = plng[:, None]
-        py = plat[:, None]
-        cond = (y0 > py) != (y1 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
-        cross = cond & (px < xint)
-        inside ^= (cross.sum(axis=1) % 2).astype(bool)
+        for e in range(x.shape[0] - 1):
+            y0, y1 = y[e], y[e + 1]
+            if y0 == y1:
+                continue
+            lo, hi = (y1, y0) if y0 > y1 else (y0, y1)
+            # cond (y0 > py) != (y1 > py)  <=>  py in [lo, hi)
+            i0 = np.searchsorted(sy, lo, side="left")
+            i1 = np.searchsorted(sy, hi, side="left")
+            if i0 == i1:
+                continue
+            py = sy[i0:i1]
+            xint = x[e] + (py - y0) * (x[e + 1] - x[e]) / (y1 - y0)
+            flips[i0:i1] += sx[i0:i1] < xint
+    inside = np.zeros(n, dtype=bool)
+    inside[order] = (flips & 1).astype(bool)
     return inside
 
 
@@ -84,6 +100,21 @@ def _seg_intersect(a0, a1, b0, b1) -> np.ndarray:
     d2 = db[None, :, :]
     s3 = cross(o2, d2, a0[:, None, :])
     s4 = cross(o2, d2, a1[:, None, :])
+    return (s1 * s2 < 0) & (s3 * s4 < 0)
+
+
+def _seg_intersect_pairs(a0, a1, b0, b1) -> np.ndarray:
+    """Proper segment intersection, paired: a*/b* all (P, 2) -> (P,) bool."""
+
+    def cross(o, d, p):
+        return d[:, 0] * (p[:, 1] - o[:, 1]) - d[:, 1] * (p[:, 0] - o[:, 0])
+
+    da = a1 - a0
+    db = b1 - b0
+    s1 = cross(a0, da, b0)
+    s2 = cross(a0, da, b1)
+    s3 = cross(b0, db, a0)
+    s4 = cross(b0, db, a1)
     return (s1 * s2 < 0) & (s3 * s4 < 0)
 
 
@@ -151,9 +182,26 @@ def _classify_cells(cand: np.ndarray, rings: list[np.ndarray], res: int):
     e0 = np.stack([np.concatenate(cell_e0x), np.concatenate(cell_e0y)], axis=-1)
     e1 = np.stack([np.concatenate(cell_e1x), np.concatenate(cell_e1y)], axis=-1)
     erows = np.concatenate(rows)
-    crosses_edge = _seg_intersect(e0, e1, ring_edges0, ring_edges1).any(axis=1)
+    # bbox prefilter: the exact N_cell_edges x M_ring_edges intersection
+    # was the polyfill hot spot (4 cross products per pair); a 4-compare
+    # bbox-overlap pass keeps only near-boundary pairs (typically <1%)
+    ce_min = np.minimum(e0, e1)
+    ce_max = np.maximum(e0, e1)
+    re_min = np.minimum(ring_edges0, ring_edges1)
+    re_max = np.maximum(ring_edges0, ring_edges1)
+    overlap = (
+        (ce_min[:, None, 0] <= re_max[None, :, 0])
+        & (ce_max[:, None, 0] >= re_min[None, :, 0])
+        & (ce_min[:, None, 1] <= re_max[None, :, 1])
+        & (ce_max[:, None, 1] >= re_min[None, :, 1])
+    )
+    pi, pj = np.nonzero(overlap)
     crossed = np.zeros(n, dtype=bool)
-    np.logical_or.at(crossed, erows, crosses_edge)
+    if pi.size:
+        hits = _seg_intersect_pairs(
+            e0[pi], e1[pi], ring_edges0[pj], ring_edges1[pj]
+        )
+        np.logical_or.at(crossed, erows[pi], hits)
 
     vx = np.vstack(rings)
     vcells = latlng_to_cell(np.radians(vx[:, 1]), np.radians(vx[:, 0]), res)
