@@ -491,3 +491,19 @@ class TestStatefulStreaming:
         for uid in want.index:
             assert got.loc[uid, "n_sessions"] == want.loc[uid, "n_sessions"]
             assert got.loc[uid, "n_events"] == want.loc[uid, "n_events"]
+
+
+class TestTableSource:
+    def test_parquet_fallback_roundtrip(self, spark, tmp_path):
+        from h3ronpy_spark.sources.tables import (
+            iceberg_available,
+            read_table,
+            write_table,
+        )
+
+        assert not iceberg_available(spark)  # sandbox has no jars
+        df = spark.range(100).withColumnRenamed("id", "k")
+        p = str(tmp_path / "t")
+        write_table(df, p, mode="overwrite")
+        back = read_table(spark, p, snapshot_id="synth-0")
+        assert back.count() == 100 and back.columns == ["k"]
