@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the H3 core: the invariants that
+must hold for EVERY input, not just the golden samples.
+
+Mirrors the reference's invariant strategy (SURVEY.md §5) with randomized
+search: encode validity, decode->re-encode fixpoint, compact idempotence +
+partition property, parse/print roundtrip, localij roundtrip.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from h3ronpy_spark.h3core import index as IDX
+from h3ronpy_spark.h3core import latlng as LL
+from h3ronpy_spark.h3core import strings as STR
+
+lat_s = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+lng_s = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+res_s = st.integers(min_value=0, max_value=15)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lng_s, res_s)
+def test_encode_always_valid_and_decode_fixpoint(lat, lng, res):
+    h = LL.latlng_to_cell(np.radians([lat]), np.radians([lng]), res)
+    assert IDX.is_valid_cell(h).all()
+    assert (IDX.get_resolution(h) == res).all()
+    # the cell's own centroid must re-encode to the same cell (fixpoint)
+    clat, clng = LL.cell_to_latlng(h)
+    h2 = LL.latlng_to_cell(clat, clng, res)
+    assert h2[0] == h[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat_s, lng_s, st.integers(min_value=0, max_value=13))
+def test_grandchild_centroid_near_ancestor(lat, lng, res):
+    # H3 parent/child containment is only approximate (aperture-7 boundary
+    # wobble): a grandchild's centroid may fall JUST outside the ancestor,
+    # but never beyond its immediate neighbors.  (Direct children's
+    # centroids ARE always inside — pinned by the exact equality below.)
+    from h3ronpy_spark.h3core.grid import neighbors
+
+    child = LL.latlng_to_cell(np.radians([lat]), np.radians([lng]), res + 2)
+    parent = IDX.cell_to_parent(child, res)
+    clat, clng = LL.cell_to_latlng(child)
+    enc = LL.latlng_to_cell(clat, clng, res)
+    if enc[0] != parent[0]:
+        _, nb = neighbors(parent)
+        assert enc[0] in nb.tolist()
+    # one level: centroid of a direct child always encodes to its parent
+    mid = LL.latlng_to_cell(np.radians([lat]), np.radians([lng]), res + 1)
+    mlat, mlng = LL.cell_to_latlng(mid)
+    assert LL.latlng_to_cell(mlat, mlng, res)[0] == IDX.cell_to_parent(mid, res)[0]
+
+
+@settings(max_examples=50, deadline=None)
+@given(lat_s, lng_s, st.integers(min_value=1, max_value=8))
+def test_compact_partition_property(lat, lng, res):
+    # uncompact(compact(S), r) == S for any complete-subtree set S
+    h = LL.latlng_to_cell(np.radians([lat]), np.radians([lng]), res)
+    _, kids = IDX.cell_to_children_flat(h, res + 1)
+    # drop one child: compact must be a no-op (no complete sibling set)
+    partial = kids[1:]
+    comp = IDX.compact(partial)
+    assert np.array_equal(np.sort(comp), np.sort(partial))
+    # full set: compacts to exactly the parent
+    assert IDX.compact(kids).tolist() == h.tolist()
+    # idempotence
+    c1 = IDX.compact(kids)
+    assert np.array_equal(IDX.compact(c1), c1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat_s, lng_s, res_s)
+def test_string_roundtrip(lat, lng, res):
+    h = LL.latlng_to_cell(np.radians([lat]), np.radians([lng]), res)
+    s = STR.cells_to_string(h)
+    back = STR.cells_parse([str(s[0])])
+    assert back[0] == h[0]
+
+
+@settings(max_examples=50, deadline=None)
+@given(lat_s, lng_s, st.integers(min_value=2, max_value=10))
+def test_localij_roundtrip_within_disk(lat, lng, res):
+    from h3ronpy_spark.h3core.grid import grid_disk
+    from h3ronpy_spark.h3core.localij import FAIL, cells_to_localij, localij_to_cells
+
+    anchor = LL.latlng_to_cell(np.radians([lat]), np.radians([lng]), res)
+    rows, cells = grid_disk(anchor, 3)
+    anc = np.repeat(anchor, cells.size)
+    i, j = cells_to_localij(anc, cells)
+    ok = i != FAIL
+    back = localij_to_cells(anc[ok], i[ok], j[ok])
+    assert (back == cells[ok]).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(lat_s, lng_s, st.integers(min_value=0, max_value=9))
+def test_area_positive_and_children_sum(lat, lng, res):
+    from h3ronpy_spark.h3core.boundary import cell_area_km2
+
+    h = LL.latlng_to_cell(np.radians([lat]), np.radians([lng]), res)
+    a = cell_area_km2(h)[0]
+    assert a > 0
+    _, kids = IDX.cell_to_children_flat(h, res + 1)
+    # children only APPROXIMATELY tile the parent (aperture-7 boundary
+    # wobble; worst for pentagons at ~0.2%) — exact tiling holds only for
+    # the whole sphere (TestPentagonBoundary.test_sphere_sum_exact)
+    ks = cell_area_km2(kids).sum()
+    assert abs(ks - a) / a < 0.01
