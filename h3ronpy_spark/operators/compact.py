@@ -44,7 +44,11 @@ def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
         cells = IDX.compact(pdf["cell"].to_numpy(np.int64))
         return pd.DataFrame({"cell": cells})
 
-    grouped = fine.groupBy("__anc").applyInPandas(_compact_group, "cell long")
+    # persisted: both the returned plan and the driver-side tail collect
+    # read it — without caching the shuffle+kernel would run twice
+    grouped = fine.groupBy("__anc").applyInPandas(
+        _compact_group, "cell long"
+    ).persist()
     # cells promoted all the way to the group ancestor (res == _GROUP_RES)
     # may have complete sibling sets ACROSS groups; finish them with the
     # kernel on the driver together with the originally-coarse input rows.
