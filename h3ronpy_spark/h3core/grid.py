@@ -160,6 +160,8 @@ def grid_disk_distances(h, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         dup = np.zeros(rows.shape, dtype=bool)
         dup[1:] = (rows[1:] == rows[:-1]) & (cells[1:] == cells[:-1])
         rows, cells = rows[~dup], cells[~dup]
+        if rows.size == 0:
+            break
         # remove already-seen (rows, cells) — exact two-key anti-join via
         # a merged lexsort (a packed/XOR key can collide and silently drop
         # genuine disk cells)

@@ -42,6 +42,17 @@ FAIL = np.int64(np.iinfo(np.int32).min)
 _OPP = np.array([0, 6, 5, 4, 3, 2, 1], dtype=np.int64)
 
 _BC_TABLES: tuple[np.ndarray, np.ndarray] | None = None
+_PENT_BC: np.ndarray | None = None  # 122-entry pentagon LUT by base cell
+
+
+def _pent_by_bc() -> np.ndarray:
+    global _PENT_BC
+    if _PENT_BC is None:
+        base = IDX.build_cell(
+            np.arange(122), np.zeros(122, dtype=np.int64), np.full((122, 15), 7)
+        )
+        _PENT_BC = IDX.is_pentagon(base)
+    return _PENT_BC
 
 
 def _rot60_axial(a, b, ccw_steps):
@@ -191,12 +202,9 @@ def cells_to_localij(anchor, cells) -> tuple[np.ndarray, np.ndarray]:
     same = valid & (bc_a == bc_c)
 
     nbr, rot = _base_cell_tables()
-    pent_a = IDX.is_pentagon(IDX.build_cell(
-        np.clip(bc_a, 0, 121), np.zeros(n, dtype=np.int64), np.full((n, 15), 7)
-    ))
-    pent_c = IDX.is_pentagon(IDX.build_cell(
-        np.clip(bc_c, 0, 121), np.zeros(n, dtype=np.int64), np.full((n, 15), 7)
-    ))
+    pent = _pent_by_bc()
+    pent_a = pent[np.clip(bc_a, 0, 121)]
+    pent_c = pent[np.clip(bc_c, 0, 121)]
     # cross-base: cell's base cell must be a neighbor of the anchor's, and
     # neither may be a pentagon (reference errors there too)
     dirs = np.zeros(n, dtype=np.int64)

@@ -7,8 +7,8 @@ subtrees.  So the distributed operator is ONE shuffle: group by the res-2
 ancestor (pure bit math, 5882 groups globally) and run the vectorized
 numpy compact kernel per group via applyInPandas; the only cross-group
 promotions possible involve cells at res <= 2, a globally bounded set
-(<= 5882 + 964 rows) compacted with the same kernel in a driver-side
-finishing pass.  Replaces the round-1 per-resolution fixpoint (2 Spark
+(<= 5882 + 964 rows) compacted with the same kernel in a lazy
+single-group second stage.  Replaces the round-1 per-resolution fixpoint (2 Spark
 actions per level, ~10s on the contract query; this shape is ~5x faster
 and has ONE stage boundary regardless of resolution span).
 """
@@ -33,7 +33,6 @@ def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
     arrays.compact mirrors that gate)."""
     from ..h3core import index as IDX
 
-    spark = df.sparkSession
     cur = df.select(F.col(cell_col).alias("cell")).distinct()
     res = H.cells_resolution(F.col("cell"))
     fine = cur.filter(res > _GROUP_RES).withColumn(
@@ -44,31 +43,25 @@ def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
         cells = IDX.compact(pdf["cell"].to_numpy(np.int64))
         return pd.DataFrame({"cell": cells})
 
-    # persisted: both the returned plan and the driver-side tail collect
-    # read it — without caching the shuffle+kernel would run twice
-    grouped = fine.groupBy("__anc").applyInPandas(
-        _compact_group, "cell long"
-    ).persist()
+    grouped = fine.groupBy("__anc").applyInPandas(_compact_group, "cell long")
     # cells promoted all the way to the group ancestor (res == _GROUP_RES)
-    # may have complete sibling sets ACROSS groups; finish them with the
-    # kernel on the driver together with the originally-coarse input rows.
-    # Both sets are globally bounded (#res-2 cells = 5882, #res<=1 = 964).
+    # may form complete sibling sets ACROSS groups; finish them with the
+    # same kernel in a single-group second stage together with the
+    # originally-coarse input rows.  Both sets are globally bounded
+    # (#res-2 cells = 5882, #res<=1 = 964), so one group is fine.  The
+    # whole operator stays lazy — no persist (nothing to unpersist later),
+    # no driver-side action; the shuffle under `grouped` is shared by both
+    # branches via exchange reuse.
     out_res = H.cells_resolution(F.col("cell"))
     final_fine = grouped.filter(out_res > _GROUP_RES)
     tail = (
         grouped.filter(out_res <= _GROUP_RES)
         .unionByName(cur.filter(res <= _GROUP_RES))
-        .collect()
+        .withColumn("__anc", F.lit(-1).cast("long"))
+        .groupBy("__anc")
+        .applyInPandas(_compact_group, "cell long")
     )
-    if not tail:
-        return final_fine
-    tail_cells = IDX.compact(
-        np.array([r["cell"] for r in tail], dtype=np.int64)
-    )
-    tail_df = spark.createDataFrame(
-        [(int(c),) for c in tail_cells], "cell long"
-    )
-    return final_fine.unionByName(tail_df)
+    return final_fine.unionByName(tail)
 
 
 def uncompact_cells(df: DataFrame, target_res: int, cell_col: str = "cell") -> DataFrame:

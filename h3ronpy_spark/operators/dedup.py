@@ -153,22 +153,29 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _token_hash64(toks: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hash per token (FNV-1a over UTF-8 bytes,
-    finalized with splitmix64).  Python's builtin ``hash()`` is salted per
-    process (PEP 456) and must never be used here: two executors would
-    disagree on the signature of identical text."""
-    from ..sources.images import splitmix64
+def _token_hash64(toks: list[str], memo: dict[str, int] | None = None) -> np.ndarray:
+    """Deterministic 64-bit hash per token (C-implemented blake2b digest).
+    Python's builtin ``hash()`` is salted per process (PEP 456) and must
+    never be used here: two executors would disagree on the signature of
+    identical text.  An optional memo exploits vocabulary repetition
+    across a batch (typically >90% hit rate on natural text)."""
+    import hashlib
 
+    if memo is None:
+        memo = {}
     hs = np.empty(len(toks), dtype=np.uint64)
-    fnv_offset, fnv_prime = 0xCBF29CE484222325, 0x100000001B3
-    mask = (1 << 64) - 1
     for i, w in enumerate(toks):
-        h = fnv_offset
-        for byte in w.encode("utf-8", "ignore"):
-            h = ((h ^ byte) * fnv_prime) & mask
+        h = memo.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(
+                    w.encode("utf-8", "ignore"), digest_size=8
+                ).digest(),
+                "little",
+            )
+            memo[w] = h
         hs[i] = h
-    return splitmix64(hs)
+    return hs
 
 
 @pandas_udf(T.LongType())
@@ -176,12 +183,13 @@ def simhash64(text: pd.Series) -> pd.Series:
     """64-bit simhash over whitespace tokens (deterministic token hash)."""
     out = np.zeros(len(text), dtype=np.int64)
     mask_ok = np.ones(len(text), dtype=bool)
+    memo: dict[str, int] = {}
     for i, t in enumerate(text):
         if t is None or not t.strip():
             mask_ok[i] = False
             continue
         toks = t.lower().split()
-        hs = _token_hash64(toks)
+        hs = _token_hash64(toks, memo)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
             np.int64
         )

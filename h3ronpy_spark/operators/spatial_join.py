@@ -110,7 +110,15 @@ def pip_join(
         if "__poly_cell" not in cov.columns:
             cov = cov.withColumnRenamed("cell", "__poly_cell")
         if min_coverage_res is not None:
-            cov = lift_coverage(cov, min_coverage_res)
+            # a caller-provided coverage is usually persisted by the
+            # caller; lifting it here would re-run the uncompact explode
+            # on every evaluation of the join plan — apply lift_coverage
+            # (and persist) on your side instead
+            raise ValueError(
+                "min_coverage_res only applies when pip_join builds the "
+                "coverage; pre-lift a provided coverage with "
+                "lift_coverage(...) and persist it"
+            )
     n_cov = cov.count()
     res_list = sorted(
         r[0]

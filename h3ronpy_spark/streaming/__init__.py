@@ -127,22 +127,32 @@ def stream_user_sessions(
             start_us = last_us = -1
             n = 0
         out = []
-        for pdf in pdfs:
-            ts_us = (
-                pdf["ts"].astype("int64") // 1000
-            ).sort_values().to_numpy()  # microseconds
-            for t in ts_us:
-                t = int(t)
-                if start_us < 0:
-                    start_us = last_us = t
-                    n = 1
-                elif t - last_us > gap_s * 1_000_000:
-                    out.append((start_us, last_us, n))
-                    start_us = last_us = t
-                    n = 1
-                else:
-                    last_us = max(last_us, t)
-                    n += 1
+        # accumulate EVERY Arrow chunk of the group before sorting: a
+        # group larger than arrow.maxRecordsPerBatch arrives as multiple
+        # chunks in arbitrary order, and per-chunk sorting would merge or
+        # split sessions across the chunk boundary
+        import numpy as _np
+
+        all_ts = [
+            (pdf["ts"].astype("int64") // 1000).to_numpy() for pdf in pdfs
+        ]
+        ts_us = (
+            _np.sort(_np.concatenate(all_ts))
+            if all_ts
+            else _np.array([], dtype="int64")
+        )
+        for t in ts_us:
+            t = int(t)
+            if start_us < 0:
+                start_us = last_us = t
+                n = 1
+            elif t - last_us > gap_s * 1_000_000:
+                out.append((start_us, last_us, n))
+                start_us = last_us = t
+                n = 1
+            else:
+                last_us = max(last_us, t)
+                n += 1
         # emit the in-flight session too (its row is refined if the user
         # reappears in a later trigger; the final trigger's emission is
         # the complete session) and keep it in state
