@@ -30,7 +30,11 @@ def rasterize_cells(
 
     Guarded by max_cells: a raster's worth of cells is small by
     construction (<= pixels); the returned array is a driver-side artifact
-    like the reference's."""
+    like the reference's.  At 100-TB scale this is the LAST step of a
+    pipeline, not a transformation: aggregate/dissolve distributed first
+    (`dissolve_groups` below, or groupBy(cell) rollups) and rasterize only
+    the final, already-reduced cell set — one call per output raster/band,
+    each bounded by its own pixel count."""
     n = df.count()
     if n > max_cells:
         raise ValueError(f"{n} cells exceeds rasterize guard ({max_cells})")
