@@ -28,15 +28,19 @@ def flagship(
     seed: int = 42,
     salt: int | None = None,
     partitions: int | None = None,
+    coverage: DataFrame | None = None,
 ) -> DataFrame:
     """Returns per-polygon rollup: poly_id, n_tiles, n_images, sum_px,
     n_captions (caption byte-equality is asserted in tests, the rollup
     carries distinct caption counts so mismatches surface as count drift).
-    """
+
+    Pass a persisted `coverage` (polyfill_polygons(..., compact=True) of
+    the same polygon set) to amortize the polygon index across batches —
+    the production pattern for a continuous 10^12-image scan."""
     images = synth_images(spark, n_images, seed=seed, partitions=partitions)
     tiles = tile_images(images, res=res, nodata=0)
     polys = synth_polygons(spark, n_polygons, seed=seed)
-    joined = pip_join(tiles, polys, res=res, salt=salt)
+    joined = pip_join(tiles, polys, res=res, salt=salt, coverage=coverage)
     return (
         joined.groupBy("poly_id")
         .agg(
