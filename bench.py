@@ -168,10 +168,15 @@ def main() -> None:
         # the scaling workload's covs) — built outside the rep timing
         from h3ronpy_spark.operators.spatial_join import polyfill_polygons
 
+        from h3ronpy_spark.operators.spatial_join import lift_coverage as _lift
+
         flag_polys = synth_polygons(spark, 60, seed=42)
         flag_cov = (
-            polyfill_polygons(flag_polys, 9, compact=True)
-            .withColumnRenamed("cell", "__poly_cell")
+            _lift(
+                polyfill_polygons(flag_polys, 9, compact=True)
+                .withColumnRenamed("cell", "__poly_cell"),
+                7,
+            )
             .persist()
         )
         flag_cov.count()

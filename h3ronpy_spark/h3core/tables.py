@@ -29,10 +29,32 @@ _NAMES = [
 ]
 
 
+def _read_cache_bytes() -> bytes | None:
+    """Cache bytes via importlib.resources so the .npz also loads when the
+    package is zipimported (spark-submit --py-files ships a zip; a
+    __file__-relative os.path.exists is always False there)."""
+    try:
+        from importlib import resources
+
+        ref = resources.files(__package__).joinpath("_tables_cache.npz")
+        if ref.is_file():
+            return ref.read_bytes()
+    except Exception:
+        pass
+    if os.path.exists(_CACHE):
+        with open(_CACHE, "rb") as f:
+            return f.read()
+    return None
+
+
 def _load_or_derive() -> dict:
-    if not os.environ.get("H3SPARK_NO_CACHE") and os.path.exists(_CACHE):
-        with np.load(_CACHE) as z:
-            return {k: z[k] for k in _NAMES}
+    if not os.environ.get("H3SPARK_NO_CACHE"):
+        raw = _read_cache_bytes()
+        if raw is not None:
+            import io
+
+            with np.load(io.BytesIO(raw)) as z:
+                return {k: z[k] for k in _NAMES}
     from . import _tables_derive as D
 
     data = {k: getattr(D, k) for k in _NAMES}

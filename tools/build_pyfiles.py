@@ -5,14 +5,17 @@ tests); submit a pipeline with:
 
     spark-submit --py-files dist/h3ronpy_spark.zip your_job.py
 
-Every executor unpacks the zip onto its python path, so the pandas/Arrow
-UDFs resolve `h3ronpy_spark.*` without any cluster-side install.
+Spark adds the zip to every executor's python path (zipimport — the
+archive is not unpacked), so the pandas/Arrow UDFs resolve
+`h3ronpy_spark.*` without a cluster-side install; the derived-table .npz
+cache is read through importlib.resources, which works from inside the
+zip (h3core/tables.py).
 """
 
 from __future__ import annotations
 
 import os
-import sys
+
 import zipfile
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
