@@ -108,3 +108,31 @@ def test_area_positive_and_children_sum(lat, lng, res):
     # the whole sphere (TestPentagonBoundary.test_sphere_sum_exact)
     ks = cell_area_km2(kids).sum()
     assert abs(ks - a) / a < 0.01
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_localij_inverse_total_on_arbitrary_input(seed):
+    """localij_to_cells never crashes on arbitrary (anchor, i, j) and every
+    resolved output is forward-consistent."""
+    from h3ronpy_spark.h3core.localij import (
+        FAIL,
+        cells_to_localij,
+        localij_to_cells,
+    )
+
+    rng = np.random.default_rng(seed)
+    lat = np.arcsin(rng.uniform(-1, 1, 64))
+    lng = rng.uniform(-np.pi, np.pi, 64)
+    res = rng.integers(0, 16, 64)
+    anchors = LL.latlng_to_cell(lat, lng, res)
+    i = rng.integers(-(10**6), 10**6, 64)
+    j = rng.integers(-(10**6), 10**6, 64)
+    out = localij_to_cells(anchors, i, j)
+    valid = out != -1
+    if valid.any():
+        assert IDX.is_valid_cell(out[valid]).all()
+        i2, j2 = cells_to_localij(anchors[valid], out[valid])
+        ok = i2 != FAIL
+        assert (i2[ok] == i[valid][ok]).all()
+        assert (j2[ok] == j[valid][ok]).all()
