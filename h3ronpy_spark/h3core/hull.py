@@ -246,9 +246,12 @@ def spark_cells_concave_hull(
 
     Unlike the convex hull, concave hulls do not merge two-phase
     (hull(hull(A) u hull(B)) != hull(A u B)), so the reduction is dedupe
-    only; `max_points` guards the driver collect.  At 100-TB scale,
-    pre-compact the cell set (operators.compact) or hull per spatial
-    bucket."""
+    only; `max_points` guards the driver collect and the operator RAISES
+    when exceeded (silent truncation would hull an arbitrary,
+    partition-order-dependent subset).  The result is deterministic
+    across partitionings: the kernel sorts its input (np.unique) before
+    hulling.  At 100-TB scale, pre-compact the cell set
+    (operators.compact) or hull per spatial bucket."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -274,7 +277,20 @@ def spark_cells_concave_hull(
             pts = np.unique(pts, axis=0)
             yield pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1]})
 
-    parts = df.select(cell_col).mapInPandas(partial, schema).limit(max_points).toPandas()
+    # bounded collect: fetch max_points + 1 rows so an overflow is
+    # detected without pulling an unbounded vertex set to the driver
+    parts = (
+        df.select(cell_col)
+        .mapInPandas(partial, schema)
+        .distinct()  # global dedupe so the guard counts DISTINCT vertices
+        .limit(max_points + 1)
+        .toPandas()
+    )
+    if len(parts) > max_points:
+        raise ValueError(
+            f"concave hull input exceeds max_points={max_points} distinct "
+            "boundary vertices; pre-compact the cell set or raise the limit"
+        )
     if parts.empty:
         return None
     hull = concave_hull(parts[["lng", "lat"]].to_numpy(), concavity)

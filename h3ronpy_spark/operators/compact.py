@@ -25,12 +25,23 @@ from .. import functions as H
 _GROUP_RES = 2
 
 
-def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+def compact_cells(
+    df: DataFrame, cell_col: str = "cell", persist_intermediate: bool = True
+) -> DataFrame:
     """Compact a DataFrame of (distinct) cells; returns one `cell` column.
 
     Mixed resolutions allowed (reference requires mixed_resolutions=True
     for that, h3ronpy/python/h3ronpy/__init__.py:160-167; the eager
-    arrays.compact mirrors that gate)."""
+    arrays.compact mirrors that gate).
+
+    The grouped-kernel output feeds two branches (fine output + the
+    bounded coarse tail); Spark does NOT reuse the exchange between them
+    (verified: no ReusedExchange in the executed plan), so by default the
+    intermediate is persisted (MEMORY_AND_DISK) — otherwise the full input
+    scan + kernel would run twice.  The cached set is the *compacted*
+    output (small); it stays cached until the session ends or the LRU
+    evicts it — callers running many compacts can pass
+    persist_intermediate=False or spark.catalog.clearCache()."""
     from ..h3core import index as IDX
 
     cur = df.select(F.col(cell_col).alias("cell")).distinct()
@@ -44,14 +55,15 @@ def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
         return pd.DataFrame({"cell": cells})
 
     grouped = fine.groupBy("__anc").applyInPandas(_compact_group, "cell long")
+    if persist_intermediate:
+        grouped = grouped.persist()
     # cells promoted all the way to the group ancestor (res == _GROUP_RES)
     # may form complete sibling sets ACROSS groups; finish them with the
     # same kernel in a single-group second stage together with the
     # originally-coarse input rows.  Both sets are globally bounded
-    # (#res-2 cells = 5882, #res<=1 = 964), so one group is fine.  The
-    # whole operator stays lazy — no persist (nothing to unpersist later),
-    # no driver-side action; the shuffle under `grouped` is shared by both
-    # branches via exchange reuse.
+    # (#res-2 cells = 5882, #res<=1 = 964), so one group is fine.  No
+    # driver-side action is taken here; the persist materializes lazily on
+    # the first downstream action.
     out_res = H.cells_resolution(F.col("cell"))
     final_fine = grouped.filter(out_res > _GROUP_RES)
     tail = (

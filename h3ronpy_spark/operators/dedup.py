@@ -221,7 +221,8 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming).  Reference n/a (dedup family is part of
     the training-data-pipeline surface, not h3ronpy)."""
     n_bands = max_hamming + 1
-    assert 1 <= n_bands <= 64, "max_hamming must be in [0, 63]"
+    if not 1 <= n_bands <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
     width = 64 // n_bands
     sigs = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")

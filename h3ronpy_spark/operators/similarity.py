@@ -157,9 +157,12 @@ def ann_recall(
     **kw,
 ) -> DataFrame:
     """Recall@k of lsh_topk against the exact brute-force ground truth;
-    one row (n_queries, recall)."""
+    one row (n_queries, recall).  Honors the same id_col/qid_col/vec_col
+    overrides as brute_force_topk/lsh_topk."""
+    qid_col = kw.get("qid_col", "qid")
+    id_col = kw.get("id_col", "vec_id")
     truth = brute_force_topk(embeddings, queries, k=k, **kw).select(
-        "qid", "vec_id"
+        qid_col, id_col
     )
     approx = lsh_topk(
         embeddings,
@@ -168,14 +171,15 @@ def ann_recall(
         n_bands=n_bands,
         planes_per_band=planes_per_band,
         **kw,
-    ).select("qid", F.col("vec_id").alias("vec_id_a"))
+    ).select(qid_col, F.col(id_col).alias("__approx_id"))
     hit = truth.join(
         approx,
-        (truth["qid"] == approx["qid"]) & (truth["vec_id"] == approx["vec_id_a"]),
+        (truth[qid_col] == approx[qid_col])
+        & (truth[id_col] == approx["__approx_id"]),
         "left_semi",
     )
     return truth.agg(
-        F.countDistinct("qid").alias("n_queries"),
+        F.countDistinct(qid_col).alias("n_queries"),
         F.count("*").alias("n_truth"),
     ).crossJoin(hit.agg(F.count("*").alias("n_hit"))).select(
         "n_queries",

