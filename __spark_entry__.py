@@ -265,6 +265,9 @@ def _q_minhash_pairs(spark, sf):
 
 
 def _q_simhash(spark, sf):
+    # the Arrow-vectorized production kernel (see dedup.simhash64; the
+    # JVM explode alternative simhash_signatures was measured slower —
+    # BENCH.md round-3 notes)
     from h3ronpy_spark.operators.dedup import simhash64
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)

@@ -72,23 +72,31 @@ def lsh_band_keys(n_bands: int = _N_BANDS, planes_per_band: int = _PLANES_PER_BA
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def band_keys(vec: pd.Series) -> pd.Series:
-        out: list[list[int] | None] = []
-        planes_by_dim: dict[int, np.ndarray] = {}
+        """Whole-batch vectorized (round-3): same-dimension vectors are
+        stacked into an (N, d) matrix and signed with ONE matmul per
+        distinct dimension — no per-row Python.  Bit-identical to the
+        per-row formulation (same planes, same sign test)."""
+        out: list[list[int] | None] = [None] * len(vec)
         shifts = 1 << np.arange(planes_per_band)
-        for v in vec:
-            if v is None or len(v) == 0:
-                out.append(None)
+        dims = np.array(
+            [-1 if v is None else len(v) for v in vec], dtype=np.int64
+        )
+        vals = vec.to_numpy()
+        for d in np.unique(dims):
+            if d <= 0:
                 continue
-            a = np.asarray(v, dtype=np.float64)
-            planes = planes_by_dim.get(a.shape[0])
-            if planes is None:
-                rng = np.random.default_rng(12345 + a.shape[0])
-                planes = rng.standard_normal(
-                    (n_bands * planes_per_band, a.shape[0])
-                )
-                planes_by_dim[a.shape[0]] = planes
-            bits = (planes @ a > 0).reshape(n_bands, planes_per_band)
-            out.append((bits * shifts).sum(axis=1).astype(np.int32).tolist())
+            idx = np.nonzero(dims == d)[0]
+            mat = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in idx]
+            )
+            rng = np.random.default_rng(12345 + int(d))
+            planes = rng.standard_normal((n_bands * planes_per_band, int(d)))
+            bits = (mat @ planes.T > 0).reshape(
+                idx.size, n_bands, planes_per_band
+            )
+            keys = (bits * shifts).sum(axis=2).astype(np.int32)
+            for k, i in enumerate(idx):
+                out[i] = keys[k].tolist()
         return pd.Series(out)
 
     return band_keys

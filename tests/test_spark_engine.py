@@ -379,6 +379,29 @@ class TestSimhash:
         sig = docs.select(simhash64("text").alias("s")).collect()
         assert sig[0]["s"] == sig[1]["s"]
 
+    def test_jvm_signature_operator_invariants(self, spark):
+        # the zero-Python alternative (explode + SWAR agg): identical
+        # texts agree, null/empty texts yield null, near-dups are close
+        from h3ronpy_spark.operators.dedup import simhash_signatures
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        far = "completely different words entirely unrelated content " * 8
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, None), (4, "   "),
+             (5, base.replace("lazy", "sleepy")), (6, far)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["id"]: r["sim"]
+            for r in simhash_signatures(docs).collect()
+        }
+        assert rows[1] == rows[2] and rows[1] is not None
+        assert rows[3] is None and rows[4] is None
+        # one token of nine swapped -> small hamming; unrelated text -> big
+        near_ham = bin(rows[1] ^ rows[5]).count("1")
+        far_ham = bin(rows[1] ^ rows[6]).count("1")
+        assert near_ham <= 12 < far_ham
+
     def test_simhash_pairs_finds_near_dups(self, spark):
         from h3ronpy_spark.operators.dedup import simhash_pairs
 
