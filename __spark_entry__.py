@@ -560,6 +560,24 @@ def _q_h3_tiling(spark, sf):
     )
 
 
+def _q_h3_tiling_f64(spark, sf):
+    """Float-band tiling (reference raster.rs:210-219 value-dtype breadth):
+    f64 pixels with a NaN nodata border; NaN pixels must be dropped and
+    float values carried through grouping exactly."""
+    from h3ronpy_spark.operators.tiling import tile_images
+    from h3ronpy_spark.sources.images import synth_images_typed
+
+    images = synth_images_typed(spark, 150, fmt="raw_f64", seed=11)
+    tiles = tile_images(
+        images, res=9, nodata=float("nan"), value_type="double"
+    )
+    return tiles.groupBy("image_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.round(F.sum("px_value"), 3).alias("sum_px"),
+        F.round(F.min("px_value"), 3).alias("min_px"),
+    )
+
+
 def _q_h3_wkb_points(spark, sf):
     import h3ronpy_spark.functions as H
 
@@ -778,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_area_stats": _q_h3_area_stats,
         "h3_pip_join": _q_h3_pip_join,
         "h3_tiling": _q_h3_tiling,
+        "h3_tiling_f64": _q_h3_tiling_f64,
         "h3_wkb": _q_h3_wkb_points,
         "h3_grid_disk_agg": _q_h3_grid_agg,
         "h3_hulls": _q_h3_hulls,
@@ -1028,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
                 "h3_area_stats",
                 "h3_pip_join",
                 "h3_tiling",
+                "h3_tiling_f64",
                 "h3_wkb",
                 "h3_grid_disk_agg",
                 "h3_hulls",

@@ -18,20 +18,48 @@ from pyspark.sql import types as T
 
 from ..sources.images import decode_image, georef_of_phash
 
-TILES_SCHEMA = T.StructType(
-    [
-        T.StructField("image_id", T.StringType(), False),
-        T.StructField("cell", T.LongType(), False),
-        T.StructField("px_value", T.IntegerType(), False),
-        T.StructField("caption", T.StringType(), False),
-    ]
-)
+# Spark value type per requested tile value kind; the reference converts
+# rasters of {u,i}{8,16,32,64}, f32, f64 (h3ronpy/src/raster.rs:210-219) —
+# Spark has three numeric widths that losslessly hold them
+_VALUE_TYPES = {
+    "int": (T.IntegerType(), np.int32),
+    "bigint": (T.LongType(), np.int64),
+    "double": (T.DoubleType(), np.float64),
+}
 
 
-def tile_images(images: DataFrame, res: int, nodata: int | None = 0) -> DataFrame:
-    """images (input_hint schema) -> tiles at H3 `res`."""
+def tiles_schema(value_type: str = "int") -> T.StructType:
+    spark_t, _ = _VALUE_TYPES[value_type]
+    return T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("cell", T.LongType(), False),
+            T.StructField("px_value", spark_t, False),
+            T.StructField("caption", T.StringType(), False),
+        ]
+    )
 
+
+TILES_SCHEMA = tiles_schema("int")
+
+
+def tile_images(
+    images: DataFrame,
+    res: int,
+    nodata=0,
+    value_type: str = "int",
+) -> DataFrame:
+    """images (input_hint schema) -> tiles at H3 `res`.
+
+    value_type: "int" (default; holds {u,i}{8,16} and i32 bands),
+    "bigint" ({u,i}32/i64), or "double" (f32/f64 — pass nodata=float('nan')
+    for NaN-nodata rasters; NaN pixels are dropped like the reference's
+    OrderedFloat NaN handling)."""
     from ..sources.images import PIXEL_DEG
+
+    if value_type not in _VALUE_TYPES:
+        raise ValueError(f"value_type must be one of {sorted(_VALUE_TYPES)}")
+    _, np_t = _VALUE_TYPES[value_type]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..h3core.rasterh3 import rasters_to_cells_batch
@@ -60,9 +88,9 @@ def tile_images(images: DataFrame, res: int, nodata: int | None = 0) -> DataFram
                 {
                     "image_id": ids[img_idx],
                     "cell": cells,
-                    "px_value": vals.astype(np.int32),
+                    "px_value": vals.astype(np_t),
                     "caption": caps[img_idx],
                 }
             )
 
-    return images.mapInPandas(run, TILES_SCHEMA)
+    return images.mapInPandas(run, tiles_schema(value_type))

@@ -114,19 +114,102 @@ def synth_images(
     return base.mapInPandas(gen, IMAGES_SCHEMA)
 
 
-def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode the image payload to a (h, w) uint8 array.
+# raw (uncompressed, row-major, little-endian) band dtypes — the same
+# value-type breadth the reference converts (h3ronpy/src/raster.rs:210-219:
+# {u,i}{8,16,32,64}, f32, f64)
+RAW_DTYPES = {
+    "raw8": np.uint8,
+    "raw_u8": np.uint8,
+    "raw_i8": np.int8,
+    "raw_u16": np.uint16,
+    "raw_i16": np.int16,
+    "raw_u32": np.uint32,
+    "raw_i32": np.int32,
+    "raw_u64": np.uint64,
+    "raw_i64": np.int64,
+    "raw_f32": np.float32,
+    "raw_f64": np.float64,
+}
 
-    raw8 is exact.  Real codecs (png/jpeg/webp) are not available in this
-    container — the Spark-side plumbing (schema, batching, partitioning) is
-    identical, so they are stubbed with a clear error."""
-    if fmt == "raw8":
-        a = np.frombuffer(blob, dtype=np.uint8)
+
+def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode the image payload to a (h, w) array of the fmt's dtype.
+
+    raw* formats are exact (row-major little-endian).  Real codecs
+    (png/jpeg/webp) are not available in this container — the Spark-side
+    plumbing (schema, batching, partitioning) is identical, so they are
+    stubbed with a clear error."""
+    dt = RAW_DTYPES.get(fmt)
+    if dt is not None:
+        a = np.frombuffer(blob, dtype=np.dtype(dt).newbyteorder("<"))
         return a.reshape(int(h), int(w))
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (stub); "
-        "raw8 is the deterministic stand-in"
+        "raw* formats are the deterministic stand-in"
     )
+
+
+def gen_images_typed_pdf(
+    ids: np.ndarray, fmt: str, seed: int = 42
+) -> pd.DataFrame:
+    """Typed-band variant of gen_images_pdf: same geometry/georef, pixel
+    values in the fmt's dtype; float bands carry a NaN nodata border
+    (matching the reference's OrderedFloat/NaN raster semantics,
+    h3ronpy/src/raster.rs:186-219), integer bands a 0 border."""
+    dt = np.dtype(RAW_DTYPES[fmt])
+    ids = np.asarray(ids, dtype=np.int64)
+    ph = phash_of_ids(ids, seed)
+    w = (16 + (ph % np.uint64(49))).astype(np.int32)
+    h = (16 + ((ph >> np.uint64(8)) % np.uint64(49))).astype(np.int32)
+    blobs = []
+    for i in range(len(ids)):
+        hh, ww = int(h[i]), int(w[i])
+        x = np.arange(ww, dtype=np.uint64)
+        y = np.arange(hh, dtype=np.uint64)[:, None]
+        raw = ((x * np.uint64(3) + y * np.uint64(7) + ph[i]) % np.uint64(255)
+               + np.uint64(1))
+        if dt.kind == "f":
+            band = (raw.astype(np.float64) / 8.0).astype(dt)
+            band[0, :] = np.nan
+            band[:, 0] = np.nan
+        else:
+            band = raw.astype(dt)
+            band[0, :] = 0
+            band[:, 0] = 0
+        blobs.append(band.astype(dt.newbyteorder("<")).tobytes())
+    caption = [
+        f"caption-{int(i):012d}-{int(p) & 0xFFFFFFFF:08x}"
+        for i, p in zip(ids, ph)
+    ]
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{int(i):012d}" for i in ids],
+            "bytes": blobs,
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": caption,
+            "phash": ph.view(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF),
+        }
+    )
+
+
+def synth_images_typed(
+    spark: SparkSession,
+    n: int,
+    fmt: str = "raw_f64",
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic typed-band images table."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield gen_images_typed_pdf(b["id"].to_numpy(), fmt, seed)
+
+    return base.mapInPandas(gen, IMAGES_SCHEMA)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -73,6 +73,46 @@ class TestRaster:
         with pytest.raises(ValueError):
             R.raster_to_cells(band, (40.0, 0, 0, 0, -40.0, 90), 5)
 
+    def test_value_dtype_breadth(self):
+        # reference converts {u,i}{8..64}, f32, f64 (raster.rs:210-219);
+        # values must round-trip in their own dtype, NaN nodata dropped
+        tf = (0.01, 0.0, 10.0, 0.0, -0.01, 45.0)
+        for dt in (np.uint8, np.int16, np.uint32, np.int64,
+                   np.float32, np.float64):
+            band = (np.arange(1200).reshape(30, 40) % 250 + 1).astype(dt)
+            nod = np.nan if np.dtype(dt).kind == "f" else 0
+            if np.dtype(dt).kind == "f":
+                band[0, :] = np.nan
+            else:
+                band[0, :] = 0
+            vals, cells = R.raster_to_cells(band, tf, 9, nodata_value=nod)
+            assert vals.dtype == np.dtype(dt)
+            assert cells.size > 100
+            if np.dtype(dt).kind == "f":
+                assert np.isfinite(vals).all()
+            else:
+                assert (vals != 0).all()
+            out = R.cells_to_raster(cells, vals, (40, 30), tf,
+                                    nodata_value=nod)
+            assert out.dtype == np.dtype(dt)
+
+    def test_typed_tiling_f64_nan_nodata(self, ):
+        from h3ronpy_spark.sources.images import (
+            decode_image,
+            gen_images_typed_pdf,
+        )
+
+        pdf = gen_images_typed_pdf(np.arange(5), "raw_f64", seed=3)
+        b = decode_image(pdf["bytes"][0], pdf["w"][0], pdf["h"][0], "raw_f64")
+        assert b.dtype == np.float64
+        assert np.isnan(b[0, :]).all() and np.isnan(b[:, 0]).all()
+        assert np.isfinite(b[1:, 1:]).all()
+        # i16 variant decodes too
+        pdf2 = gen_images_typed_pdf(np.arange(3), "raw_i16", seed=3)
+        b2 = decode_image(pdf2["bytes"][0], pdf2["w"][0], pdf2["h"][0],
+                          "raw_i16")
+        assert b2.dtype == np.int16 and (b2[1:, 1:] > 0).all()
+
     def test_axis_order(self):
         band = np.arange(12, dtype=np.uint8).reshape(3, 4) + 1
         tf = (0.01, 0.0, 10.0, 0.0, -0.01, 45.0)

@@ -43,6 +43,7 @@ GOLDEN_QUERIES = [
     "h3_area_stats",
     "h3_pip_join",
     "h3_tiling",
+    "h3_tiling_f64",
     "h3_wkb",
     "h3_grid_disk_agg",
     "h3_hulls",
