@@ -673,10 +673,14 @@ def _q_h3_edges(spark, sf):
         H.directededges_valid(F.col("edge")).alias("edge_ok"),
         (H.edges_origin(F.col("edge")).isNotNull()).alias("has_origin"),
         F.round(H.edges_length_km(F.col("edge")), 4).alias("len_km"),
+        F.round(H.edges_length_m(F.col("edge")), 1).alias("len_m"),
+        F.round(H.edges_length_rads(F.col("edge")), 9).alias("len_rads"),
     ).groupBy("doc_id").agg(
         F.count("*").alias("n_edges"),
         F.sum(F.when(F.col("edge_ok"), 1).otherwise(0)).alias("n_valid"),
         F.round(F.sum("len_km"), 3).alias("perimeter_km"),
+        F.round(F.sum("len_m"), 1).alias("perimeter_m"),
+        F.round(F.sum("len_rads"), 8).alias("perimeter_rads"),
     )
 
 
@@ -750,6 +754,424 @@ def _q_h3_res_stats(spark, sf):
     )
 
 
+# --- round-3 contract queries: the 16 previously pytest-only SURVEY.md §2
+# operators (verdict r02 next-round item 2), + lang_id and streaming parity
+
+
+def _q_h3_resolution_ops(spark, sf):
+    """Ops 2/3/19: change_resolution (list + paired) + children counts,
+    pinned to the reference's own literals (tests/arrow/test_resolution.py:
+    8-33: changing [res5, res8] to 9 yields 7^4 + 7 cells; paired on the
+    res-8 cell yields 7 rows of (res8, res9))."""
+    import h3ronpy_spark.functions as H
+
+    pts = spark.createDataFrame(
+        [(10.2, 45.5, 5), (10.3, 45.1, 8)], "lat double, lng double, res int"
+    )
+    cells = pts.select(
+        H.coordinates_to_cells("lat", "lng", "res").alias("cell")
+    )
+    changed = H.change_resolution(cells, "cell", 9)
+    n_changed = changed.count()
+    n_changed_res9 = changed.filter(
+        H.cells_resolution(F.col("cell")) == 9
+    ).count()
+    res8 = cells.filter(H.cells_resolution(F.col("cell")) == 8)
+    paired = H.change_resolution_paired(res8, "cell", 9)
+    n_pairs = paired.count()
+    n_pairs_ok = paired.filter(
+        (H.cells_resolution(F.col("cell_before")) == 8)
+        & (H.cells_resolution(F.col("cell_after")) == 9)
+        & (
+            H.change_resolution_parent(F.col("cell_after"), 8)
+            == F.col("cell_before")
+        )
+    ).count()
+    res5 = cells.filter(H.cells_resolution(F.col("cell")) == 5)
+    n_children = res5.select(
+        F.size(H.change_resolution_list(F.col("cell"), F.lit(9))).alias("n")
+    ).first()["n"]
+    return spark.createDataFrame(
+        [(n_changed, n_changed_res9, n_pairs, n_pairs_ok, int(n_children))],
+        "n_changed long, n_changed_res9 long, n_pairs long, "
+        "n_pairs_ok long, n_children long",
+    )
+
+
+def _q_h3_bounds(spark, sf):
+    """Ops 29/30: per-cell bboxes (golden-pinned values) + the global
+    bounds aggregate and the reference's containment invariants
+    (tests/arrow/test_coordinates.py:44-79)."""
+    import h3ronpy_spark.functions as H
+
+    # keep clear of the antimeridian: a lng-wrapping cell's naive
+    # (min, max) bbox spans the world — same artifact the reference's
+    # planar bounding rect has — which would void the containment check
+    pts = _docs_points(spark, sf).filter(
+        (F.col("doc_id") < 110)
+        & (F.abs(F.col("lng")) < 170)
+        & (F.abs(F.col("lat")) < 80)
+    )
+    cells = pts.select(
+        "doc_id",
+        "lat",
+        "lng",
+        H.coordinates_to_cells("lat", "lng", F.lit(8)).alias("cell"),
+    )
+    b = cells.select(
+        "doc_id",
+        "lat",
+        "lng",
+        H.cells_bounds_arrays(F.col("cell")).alias("b"),
+    )
+    per_cell = b.select(
+        "doc_id",
+        F.round("b.minx", 6).alias("minx"),
+        F.round("b.miny", 6).alias("miny"),
+        F.round("b.maxx", 6).alias("maxx"),
+        F.round("b.maxy", 6).alias("maxy"),
+        (
+            (F.col("b.minx") < F.col("lng"))
+            & (F.col("lng") < F.col("b.maxx"))
+            & (F.col("b.miny") < F.col("lat"))
+            & (F.col("lat") < F.col("b.maxy"))
+        ).alias("contains_point"),
+    )
+    return per_cell.orderBy("doc_id")
+
+
+def _q_h3_ring(spark, sf):
+    """Op 25: grid_ring_distances annulus sizes — literal oracle:
+    |ring(k)| = 6k for hexagons."""
+    import h3ronpy_spark.functions as H
+
+    pts = _docs_points(spark, sf).filter(F.col("doc_id") < 300)
+    cells = pts.select(
+        H.coordinates_to_cells("lat", "lng", F.lit(9)).alias("cell")
+    )
+    rings = cells.select(
+        F.explode(
+            H.grid_ring_distances(F.col("cell"), 1, 2)
+        ).alias("r")
+    )
+    return (
+        rings.groupBy(F.col("r.k").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("k")
+    )
+
+
+def _q_h3_rasterize_roundtrip(spark, sf):
+    """Ops 40/41: tile a block-constant raster to cells through the Spark
+    tiling operator, rasterize_cells back onto the same grid, compare
+    pixel-exactly (reference tests/test_raster.py:56-69 roundtrip)."""
+    import numpy as np
+
+    from h3ronpy_spark.operators.rasterize import rasterize_cells
+    from h3ronpy_spark.operators.tiling import tile_images
+    from h3ronpy_spark.sources.images import (
+        IMAGES_SCHEMA,
+        decode_image,
+        georef_of_phash,
+    )
+
+    w, h = 60, 40
+    band = np.zeros((h, w), dtype=np.uint8)
+    band[5:20, 10:40] = 7
+    band[25:35, 5:25] = 3
+    phash = 424242
+    row = [("imgRT", bytearray(band.tobytes()), w, h, "raw8",
+            "roundtrip", phash)]
+    images = spark.createDataFrame(row, IMAGES_SCHEMA)
+    tiles = tile_images(images, res=11, nodata=0)
+    lat, lng = georef_of_phash(np.array([phash], dtype=np.int64))
+    from h3ronpy_spark.sources.images import PIXEL_DEG
+
+    tf = (PIXEL_DEG, 0.0, float(lng[0]), 0.0, -PIXEL_DEG, float(lat[0]))
+    painted = rasterize_cells(
+        tiles.select("cell", F.col("px_value").alias("value")),
+        (w, h),
+        tf,
+        nodata_value=0,
+    )
+    orig = decode_image(band.tobytes(), w, h, "raw8")
+    n_cells = tiles.count()
+    n_match = int((painted == orig).sum())
+    return spark.createDataFrame(
+        [(int(n_cells), w * h, n_match, bool(n_match == w * h))],
+        "n_cells long, n_pixels long, n_match long, exact boolean",
+    )
+
+
+def _q_h3_linestrings(spark, sf):
+    """Ops 34/9/36: edge WKB linestrings, edge string roundtrip, and
+    geometry_to_cells over a __geo_interface__ MultiPolygon."""
+    import h3ronpy_spark.functions as H
+    from h3ronpy_spark.h3core.polyfill import geometry_to_cells
+
+    pts = _docs_points(spark, sf).filter(F.col("doc_id") < 50)
+    cells = pts.select(
+        "doc_id", H.coordinates_to_cells("lat", "lng", F.lit(7)).alias("cell")
+    )
+    edges = cells.select(
+        "doc_id", F.explode(H.cells_to_edges(F.col("cell"))).alias("edge")
+    )
+    e = edges.select(
+        "doc_id",
+        F.length(
+            H.directededges_to_wkb_linestrings(F.col("edge"))
+        ).alias("wkb_len"),
+        (
+            H.directededges_parse(
+                H.directededges_to_string(F.col("edge"))
+            )
+            == F.col("edge")
+        ).alias("str_rt"),
+    ).agg(
+        F.count("*").alias("n_edges"),
+        F.sum("wkb_len").alias("sum_wkb_len"),
+        F.sum(F.when(F.col("str_rt"), 1).otherwise(0)).alias("n_str_rt"),
+    )
+    mp = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[10.0, 10.0], [10.6, 10.0], [10.6, 10.5], [10.0, 10.5],
+              [10.0, 10.0]]],
+            [[[12.0, 11.0], [12.4, 11.0], [12.4, 11.4], [12.0, 11.4],
+              [12.0, 11.0]]],
+        ],
+    }
+    n_geom = int(geometry_to_cells(mp, 6, "containscentroid").size)
+    n_geom_compact = int(
+        geometry_to_cells(mp, 6, "containscentroid", compact=True).size
+    )
+    return e.select(
+        "n_edges",
+        "sum_wkb_len",
+        "n_str_rt",
+        F.lit(n_geom).alias("n_geom_cells"),
+        F.lit(n_geom_compact).alias("n_geom_compact"),
+    )
+
+
+def _q_h3_containment_modes(spark, sf):
+    """Op 37: the four polyfill containment modes over one polygon, with
+    the reference's nesting invariant contains <= centroid <= intersects
+    == covers-ish ordering (crates/h3arrow/src/array/from_geo.rs)."""
+    import h3ronpy_spark.functions as H
+    from h3ronpy_spark.sources.polygons import synth_polygons
+
+    poly = synth_polygons(spark, 3, seed=7).filter(
+        F.col("poly_id") == "poly00001"
+    )
+    counts = {}
+    for mode in ("containsboundary", "containscentroid",
+                 "intersectsboundary", "covers"):
+        counts[mode] = poly.select(
+            F.size(
+                H.wkb_to_cells(
+                    F.col("wkb"), F.lit(7), F.lit(mode)
+                )
+            ).alias("n")
+        ).first()["n"]
+    return spark.createDataFrame(
+        [
+            (
+                int(counts["containsboundary"]),
+                int(counts["containscentroid"]),
+                int(counts["intersectsboundary"]),
+                int(counts["covers"]),
+                bool(
+                    counts["containsboundary"]
+                    <= counts["containscentroid"]
+                    <= counts["intersectsboundary"]
+                ),
+                bool(counts["covers"] >= counts["containscentroid"]),
+            )
+        ],
+        "n_contains long, n_centroid long, n_intersects long, "
+        "n_covers long, nested boolean, covers_ge_centroid boolean",
+    )
+
+
+def _q_h3_localij_roundtrip(spark, sf):
+    """Op 14 (localij_to_cells): total inverse over a scattered cell set
+    (anchors 2 rings away, crossing base-cell boundaries) plus the
+    reference's golden literal pair — literal oracle."""
+    import h3ronpy_spark.functions as H
+
+    pts = _docs_points(spark, sf).filter(F.col("doc_id") < 200)
+    cells = pts.select(
+        "doc_id",
+        H.coordinates_to_cells("lat", "lng", F.lit(5)).alias("cell"),
+    )
+    # anchor = a disk-2 neighbor (deterministic pick), frequently in a
+    # different base cell at res 5
+    withanchor = cells.select(
+        "doc_id",
+        "cell",
+        F.element_at(H.grid_disk(F.col("cell"), F.lit(2)), -1).alias(
+            "anchor"
+        ),
+    )
+    ij = withanchor.select(
+        "doc_id",
+        "cell",
+        "anchor",
+        H.cells_to_localij(F.col("cell"), F.col("anchor")).alias("ij"),
+    )
+    rt = ij.filter(F.col("ij.i").isNotNull()).select(
+        "doc_id",
+        "cell",
+        (
+            H.localij_to_cells(
+                F.col("anchor"), F.col("ij.i"), F.col("ij.j")
+            )
+            == F.col("cell")
+        ).alias("ok"),
+    )
+    agg = rt.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_roundtrip"),
+    )
+    golden = spark.createDataFrame(
+        [("8528342bfffffff", "85283473fffffff")],
+        "cell string, anchor string",
+    ).select(
+        H.cells_to_localij(
+            H.cells_parse(F.col("cell")), H.cells_parse(F.col("anchor"))
+        ).alias("ij")
+    )
+    g = golden.select(
+        F.col("ij.i").alias("i25"), F.col("ij.j").alias("j13")
+    )
+    return agg.crossJoin(g)
+
+
+def _q_h3_nearest_res(spark, sf):
+    """Op 38: nearest_h3_resolution over two pixel scales x two search
+    modes — literal oracle (pinned from the closed-form area table)."""
+    from h3ronpy_spark.h3core.rasterh3 import nearest_h3_resolution
+
+    tf1 = (0.001, 0.0, 10.0, 0.0, -0.001, 45.0)
+    tf2 = (0.01, 0.0, 10.0, 0.0, -0.01, 45.0)
+    return spark.createDataFrame(
+        [
+            (
+                nearest_h3_resolution((100, 100), tf1, "yx", "min_diff"),
+                nearest_h3_resolution(
+                    (100, 100), tf1, "yx", "smaller_than_pixel"
+                ),
+                nearest_h3_resolution((100, 100), tf2, "yx", "min_diff"),
+                nearest_h3_resolution(
+                    (100, 100), tf2, "xy", "smaller_than_pixel"
+                ),
+            )
+        ],
+        "res_milli_mindiff int, res_milli_smaller int, "
+        "res_centi_mindiff int, res_centi_smaller int",
+    )
+
+
+def _q_api_parity_ops(spark, sf):
+    """Ops 44/45/9: the eager array API (reference signatures) — parse /
+    to-string roundtrips, radians= pass-through, mixed-res compact gate —
+    literal oracle."""
+    import numpy as np
+
+    from h3ronpy_spark import arrays as A
+    from h3ronpy_spark.h3core.strings import cells_to_string
+
+    cell = A.cells_parse(["10.2, 45.5, 5"])
+    hexstr = cells_to_string(cell)[0]
+    lat_d, lng_d = A.cells_to_coordinates(cell)
+    lat_r, lng_r = A.cells_to_coordinates(cell, radians=True)
+    rad_ok = bool(
+        np.allclose([np.degrees(lat_r[0]), np.degrees(lng_r[0])],
+                    [lat_d[0], lng_d[0]])
+    )
+    back = A.coordinates_to_cells(lat_d, lng_d, 5)
+    rt_ok = bool(back[0] == cell[0])
+    try:
+        A.compact(np.array([cell[0], A.uncompact(cell, 6)[0]]))
+        gate_raised = False
+    except ValueError:
+        gate_raised = True
+    try:
+        A.cells_parse(["not-a-cell"])
+        parse_raised = False
+    except ValueError:
+        parse_raised = True
+    wkb_len = len(A.cells_to_wkb_points(cell)[0])
+    return spark.createDataFrame(
+        [(hexstr, rad_ok, rt_ok, gate_raised, parse_raised, wkb_len)],
+        "cell_hex string, radians_ok boolean, encode_rt boolean, "
+        "mixed_gate_raised boolean, parse_raised boolean, wkb_len int",
+    )
+
+
+def _q_text_lang_id(spark, sf):
+    from h3ronpy_spark.operators.text import lang_id
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("lid", lang_id(F.col("text")))
+        .groupBy("lid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_events_sessions_stream(spark, sf):
+    """Streaming parity: applyInPandasWithState sessionizer (availableNow)
+    vs the batch window-lag sessionization over the same events table."""
+    import tempfile
+
+    from h3ronpy_spark.streaming import stream_user_sessions
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # readStream needs a directory source; the sf table is one file
+        src = os.path.join(tmp, "events_src")
+        os.makedirs(src)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        sessions = stream_user_sessions(spark, src, gap_s=1800)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_parity")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    streamed = (
+        spark.table("sess_parity")
+        .groupBy("user_id", "session_start")
+        .agg(F.max("n_events").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions_s"),
+            F.sum("n_events").alias("n_events_s"),
+        )
+    )
+    batch = _q_events_sessions(spark, sf).withColumnRenamed(
+        "n_events", "n_events_b"
+    ).withColumnRenamed("n_sessions", "n_sessions_b")
+    j = streamed.join(batch, "user_id", "full")
+    return j.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when(
+                (F.col("n_sessions_s") == F.col("n_sessions_b"))
+                & (F.col("n_events_s") == F.col("n_events_b")),
+                1,
+            ).otherwise(0)
+        ).alias("n_match"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational (full DuckDB oracle)
@@ -803,6 +1225,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_edges": _q_h3_edges,
         "h3_vertexes": _q_h3_vertexes,
         "h3_res_stats": _q_h3_res_stats,
+        # round-3: previously pytest-only §2 operators (verdict item 2)
+        "h3_resolution_ops": _q_h3_resolution_ops,
+        "h3_bounds": _q_h3_bounds,
+        "h3_ring": _q_h3_ring,
+        "h3_rasterize_roundtrip": _q_h3_rasterize_roundtrip,
+        "h3_linestrings": _q_h3_linestrings,
+        "h3_containment_modes": _q_h3_containment_modes,
+        "h3_localij_roundtrip": _q_h3_localij_roundtrip,
+        "h3_nearest_res": _q_h3_nearest_res,
+        "api_parity_ops": _q_api_parity_ops,
+        "text_lang_id": _q_text_lang_id,
+        "events_sessions_stream": _q_events_sessions_stream,
     }
 
 
@@ -1053,6 +1487,10 @@ def oracle_sql() -> dict[str, str]:
                 "h3_hulls",
                 "h3_edges",
                 "h3_vertexes",
+                "h3_bounds",
+                "h3_rasterize_roundtrip",
+                "h3_linestrings",
+                "h3_containment_modes",
             )
         },
         # golden-literal oracles for H3 parity rows
@@ -1074,6 +1512,74 @@ def oracle_sql() -> dict[str, str]:
         "h3_disk_size": """
             SELECT 19 AS disk_size, count(*) AS n
             FROM documents WHERE doc_id < 500
+        """,
+        # round-3 literal oracles
+        # reference tests/arrow/test_resolution.py:8-33: 7^4 + 7 and 7
+        "h3_resolution_ops": """
+            SELECT CAST(2408 AS BIGINT) AS n_changed,
+                   CAST(2408 AS BIGINT) AS n_changed_res9,
+                   CAST(7 AS BIGINT) AS n_pairs,
+                   CAST(7 AS BIGINT) AS n_pairs_ok,
+                   CAST(2401 AS BIGINT) AS n_children
+        """,
+        # |ring(k)| = 6k per hexagon cell, 300 cells
+        "h3_ring": """
+            SELECT 1 AS k, CAST(1800 AS BIGINT) AS n
+            UNION ALL SELECT 2, CAST(3600 AS BIGINT) ORDER BY k
+        """,
+        # 198 of 200: two anchor pairs involve a pentagon and FAIL -> NULL
+        # (matching the reference's pentagon localij semantics); every
+        # supported pair round-trips
+        "h3_localij_roundtrip": """
+            SELECT CAST(198 AS BIGINT) AS n,
+                   CAST(198 AS BIGINT) AS n_roundtrip,
+                   25 AS i25, 13 AS j13
+        """,
+        "h3_nearest_res": """
+            SELECT 10 AS res_milli_mindiff, 11 AS res_milli_smaller,
+                   8 AS res_centi_mindiff, 8 AS res_centi_smaller
+        """,
+        "api_parity_ops": """
+            SELECT '851f9923fffffff' AS cell_hex, true AS radians_ok,
+                   true AS encode_rt, true AS mixed_gate_raised,
+                   true AS parse_raised, 21 AS wkb_len
+        """,
+        "text_lang_id": """
+            WITH s AS (
+                SELECT
+                  (length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5.0
+                + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5.0
+                + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4.0
+                    AS s_en,
+                  (length(lower(text)) - length(replace(lower(text), ' der ', ''))) / 5.0
+                + (length(lower(text)) - length(replace(lower(text), ' und ', ''))) / 5.0
+                + (length(lower(text)) - length(replace(lower(text), ' die ', ''))) / 5.0
+                    AS s_de,
+                  (length(lower(text)) - length(replace(lower(text), ' le ', ''))) / 4.0
+                + (length(lower(text)) - length(replace(lower(text), ' et ', ''))) / 4.0
+                + (length(lower(text)) - length(replace(lower(text), ' la ', ''))) / 4.0
+                    AS s_fr,
+                  (length(lower(text)) - length(replace(lower(text), ' el ', ''))) / 4.0
+                + (length(lower(text)) - length(replace(lower(text), ' de la ', ''))) / 7.0
+                + (length(lower(text)) - length(replace(lower(text), ' que ', ''))) / 5.0
+                    AS s_es
+                FROM documents
+            ),
+            lid AS (
+                SELECT CASE
+                    WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                    ELSE 'und' END AS lid
+                FROM s
+            )
+            SELECT lid, count(*) AS n FROM lid GROUP BY lid
+        """,
+        "events_sessions_stream": """
+            SELECT count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT user_id) AS n_match
+            FROM events
         """,
     }
 

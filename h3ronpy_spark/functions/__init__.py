@@ -456,6 +456,20 @@ def edges_length_km(edge: pd.Series) -> pd.Series:
     return pd.Series(out).mask(~edge.notna().to_numpy())
 
 
+@pandas_udf(T.DoubleType())
+def edges_length_rads(edge: pd.Series) -> pd.Series:
+    """Edge length in radians of arc (reference directededge.rs:17-33)."""
+    from h3ronpy_spark.h3core.edges import edge_length_rads
+
+    out = edge_length_rads(_cells_np(edge))
+    return pd.Series(out).mask(~edge.notna().to_numpy())
+
+
+def edges_length_m(edge: Column) -> Column:
+    """Edge length in meters (km x 1000, reference directededge.rs:24)."""
+    return edges_length_km(edge) * F.lit(1000.0)
+
+
 @pandas_udf(T.BinaryType())
 def directededges_to_wkb_linestrings(edge: pd.Series) -> pd.Series:
     """Edge -> 2-point WKB linestring along the shared cell boundary."""

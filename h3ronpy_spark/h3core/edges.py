@@ -164,15 +164,21 @@ def edge_boundary(edges) -> tuple[np.ndarray, np.ndarray]:
     return out[:, :, 0], out[:, :, 1]
 
 
-def edge_length_km(edges) -> np.ndarray:
-    """Great-circle length of the shared boundary segment."""
+def edge_length_rads(edges) -> np.ndarray:
+    """Great-circle length of the shared boundary segment, in radians of
+    arc (reference exposes rads/km/m,
+    crates/h3arrow/src/array/directededge.rs:17-33)."""
     lats, lngs = edge_boundary(edges)
     a = latlng_to_xyz(lats[:, 0], lngs[:, 0])
     b = latlng_to_xyz(lats[:, 1], lngs[:, 1])
-    d = 2.0 * np.arcsin(
+    return 2.0 * np.arcsin(
         np.clip(0.5 * np.linalg.norm(a - b, axis=-1), -1.0, 1.0)
     )
-    return d * EARTH_RADIUS_KM
+
+
+def edge_length_km(edges) -> np.ndarray:
+    """Great-circle length of the shared boundary segment."""
+    return edge_length_rads(edges) * EARTH_RADIUS_KM
 
 
 # ---------------------------------------------------------------------------

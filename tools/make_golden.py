@@ -49,6 +49,10 @@ GOLDEN_QUERIES = [
     "h3_hulls",
     "h3_edges",
     "h3_vertexes",
+    "h3_bounds",
+    "h3_rasterize_roundtrip",
+    "h3_linestrings",
+    "h3_containment_modes",
 ]
 
 
