@@ -235,4 +235,8 @@ def synth_videos(
         "video_id string, bytes binary, w int, h int, fmt string, "
         "n_frames int"
     )
-    return spark.range(n).mapInPandas(gen, schema)
+    from ..sources.images import _default_parts
+
+    return spark.range(0, n, 1, _default_parts(spark, n)).mapInPandas(
+        gen, schema
+    )

@@ -99,12 +99,20 @@ def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def _default_parts(spark: SparkSession, n: int) -> int:
+    """Size-aware partitioning: ~32+ images per task (the pandas-UDF
+    runner costs ~40 ms/task, so fanning a 300-row table to 32 tasks
+    triples its wall time), capped at the session parallelism.  Large
+    scans pass an explicit count (flagship uses 256)."""
+    return max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+
+
 def synth_images(
     spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:
     """Distributed deterministic images table: one generation task per
     partition; at 10^12-image scale this is the Iceberg scan stand-in."""
-    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    parts = partitions or _default_parts(spark, n)
     base = spark.range(0, n, 1, parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,7 +210,7 @@ def synth_images_typed(
     partitions: int | None = None,
 ) -> DataFrame:
     """Distributed deterministic typed-band images table."""
-    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    parts = partitions or _default_parts(spark, n)
     base = spark.range(0, n, 1, parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
