@@ -52,12 +52,19 @@ REP_BUDGET = float(os.environ.get("BENCH_REP_BUDGET", "300"))
 # to the pinned quiet-window reference time (floor of 100 runs on this box,
 # re-derivable via `python bench.py --calibrate`) says how much of the CPU
 # the bench actually got.  A rep is "quiet" when both flanking calibrations
-# read >= 0.9; sections keep buying reps (bounded by BENCH_REP_BUDGET)
-# until one quiet rep lands, else they report the steal-normalized time
-# (wall * ratio) alongside the raw wall time.
+# (each = min(single-core, 8-thread parallel) probe) read >= 0.85; sections
+# keep buying reps (bounded by BENCH_REP_BUDGET) until one quiet rep lands,
+# else they report the steal-normalized time (wall * ratio) alongside the
+# raw wall time.
 # ---------------------------------------------------------------------------
 
 _CALIB_REF_SECS = 0.249  # quiet-window floor of _calib_once() on this box
+# quiet floor of the PARALLEL probe (aggregate seconds for 8 threads x
+# _calib_once-sized streaming work); round-3 finding: this box degrades
+# 2-8x on parallel/bandwidth-heavy work (kernel sys-time 40-80%) while a
+# single core still reads quiet, so a single-core probe alone cannot
+# certify a window
+_CALIB_PAR_REF_SECS = 0.28
 
 
 def _calib_once() -> float:
@@ -84,12 +91,41 @@ def calib_ratio() -> float:
     return round(_CALIB_REF_SECS / best, 3)
 
 
+def calib_par_ratio(nthreads: int = 8) -> float:
+    """Parallel (memory-streaming, GIL-releasing) probe: 8 threads of the
+    same kernel, wall-clock vs pinned quiet floor.  Catches the box's
+    parallel-capacity/bandwidth degradation that the single-core probe
+    misses (observed: 1-core ratio 1.0 while 32-way workloads ran 4x
+    slow at 40-80% kernel sys time)."""
+    import threading
+
+    best = float("inf")
+    for _ in range(2):
+        threads = [
+            threading.Thread(target=_calib_once) for _ in range(nthreads)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        best = min(best, time.perf_counter() - t0)
+    return round(_CALIB_PAR_REF_SECS / best, 3)
+
+
+def window_ratio() -> float:
+    """min(single-core, 8-thread-parallel) calibration — a window is only
+    quiet if BOTH read quiet (round-3: parallel capacity degrades
+    independently of per-core speed on this box)."""
+    return min(calib_ratio(), calib_par_ratio())
+
+
 def timed_reps(
     run_once,
     min_reps: int,
     max_reps: int,
     budget_s: float,
-    quiet_thresh: float = 0.9,
+    quiet_thresh: float = 0.85,
 ):
     """Run `run_once` repeatedly with flanking calibrations until a quiet
     rep lands (>= min_reps) or the budget/max_reps cap hits.  Returns
@@ -97,12 +133,12 @@ def timed_reps(
     times: list[float] = []
     ratios: list[float] = []
     t_section = time.time()
-    r_prev = calib_ratio()
+    r_prev = window_ratio()
     while len(times) < max_reps:
         t0 = time.time()
         run_once()
         dt = time.time() - t0
-        r_next = calib_ratio()
+        r_next = window_ratio()
         times.append(dt)
         ratios.append(min(r_prev, r_next))
         r_prev = r_next
@@ -113,11 +149,11 @@ def timed_reps(
             break
         if not have_quiet and r_next < quiet_thresh:
             time.sleep(6)  # let the steal burst pass before the next rep
-            r_prev = calib_ratio()
+            r_prev = window_ratio()
     return times, ratios
 
 
-def pick_time(times, ratios, quiet_thresh: float = 0.9):
+def pick_time(times, ratios, quiet_thresh: float = 0.85):
     """(headline_secs, normalized_secs, quiet_flag): headline = best quiet
     rep when one exists, else the raw min; normalized = min over reps of
     wall * min(ratio, 1) — the quiet-window estimate."""
@@ -185,8 +221,21 @@ def main() -> None:
             )
             for _ in range(100)
         )
+        import threading
+
+        par_best = float("inf")
+        for _ in range(30):
+            ts = [threading.Thread(target=_calib_once) for _ in range(8)]
+            t0 = time.perf_counter()
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            par_best = min(par_best, time.perf_counter() - t0)
         print(json.dumps({"calib_floor_secs": round(best, 4),
-                          "pinned": _CALIB_REF_SECS}))
+                          "pinned": _CALIB_REF_SECS,
+                          "calib_par_floor_secs": round(par_best, 4),
+                          "pinned_par": _CALIB_PAR_REF_SECS}))
         return
     if len(SECTIONS) > 1:
         _run_sections_in_subprocesses()
@@ -385,7 +434,7 @@ def main() -> None:
         hl_ratios = []
         t_section = time.time()
         for pass_i in range(3):
-            r_before = calib_ratio()
+            r_before = window_ratio()
             for name in headline:
                 t0 = time.time()
                 df = qs[name](spark, SF_DIR)
@@ -394,12 +443,12 @@ def main() -> None:
                 if name not in results or dt < results[name]:
                     results[name] = dt
                 extra[f"{name}_rows"] = n
-            r_after = calib_ratio()
+            r_after = window_ratio()
             hl_ratios.append(min(r_before, r_after))
-            if max(hl_ratios) >= 0.9 or time.time() - t_section > REP_BUDGET:
+            if max(hl_ratios) >= 0.85 or time.time() - t_section > REP_BUDGET:
                 break
         extra["headline_calib_ratios"] = hl_ratios
-        extra["headline_quiet_window"] = max(hl_ratios) >= 0.9
+        extra["headline_quiet_window"] = max(hl_ratios) >= 0.85
 
     total = round(sum(results.values()), 2)
     print(
