@@ -136,3 +136,100 @@ def test_localij_inverse_total_on_arbitrary_input(seed):
         ok = i2 != FAIL
         assert (i2[ok] == i[valid][ok]).all()
         assert (j2[ok] == j[valid][ok]).all()
+
+
+# ---------------------------------------------------------------------------
+# round-3: vectorized signature kernels must match the straightforward
+# per-row formulations on arbitrary (incl. unicode / empty / None) text
+# ---------------------------------------------------------------------------
+
+
+def _simhash_per_row(texts):
+    """Straightforward per-row simhash (the round-2 formulation)."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        if t is None or not t.strip():
+            out.append(None)
+            continue
+        toks = t.lower().split()
+        hs = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        w.encode("utf-8", "ignore"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for w in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for b in np.nonzero(v > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out.append(int(np.int64(sim & np.uint64(0x7FFFFFFFFFFFFFFF))))
+    return out
+
+
+_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=60),
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\n  xyzÄß東")),
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(_texts)
+@settings(max_examples=60, deadline=None)
+def test_simhash_vectorized_matches_per_row(texts):
+    import pandas as pd
+
+    from h3ronpy_spark.operators.dedup import simhash64
+
+    got = simhash64.func(pd.Series(texts, dtype=object))
+    want = _simhash_per_row(texts)
+    for g, w in zip(list(got), want):
+        if w is None:
+            assert g is pd.NA or g is None
+        else:
+            assert int(g) == w
+
+
+@given(_texts)
+@settings(max_examples=60, deadline=None)
+def test_minhash_chunked_matches_per_row(texts):
+    import pandas as pd
+
+    from h3ronpy_spark.operators.dedup import minhash_signature
+    from h3ronpy_spark.sources.images import splitmix64
+
+    got = list(minhash_signature.func(pd.Series(texts, dtype=object)))
+    seeds = splitmix64(np.arange(1, 33, dtype=np.uint64))
+    for t, g in zip(texts, got):
+        b = t.encode("utf-8", "ignore") if t is not None else b""
+        if len(b) < 4:
+            assert g is None
+            continue
+        a = np.frombuffer(b, dtype=np.uint8)
+        sh = (
+            (a[:-3].astype(np.uint64) << np.uint64(24))
+            | (a[1:-2].astype(np.uint64) << np.uint64(16))
+            | (a[2:-1].astype(np.uint64) << np.uint64(8))
+            | a[3:].astype(np.uint64)
+        )
+        hashed = splitmix64(np.unique(sh))
+        sig = np.bitwise_xor.outer(seeds, hashed).min(axis=1)
+        want = (sig.view(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)).tolist()
+        assert list(g) == want
