@@ -295,6 +295,20 @@ def _q_ann_recall(spark, sf):
     return ann_recall(emb, q, k=10, n_bands=8, planes_per_band=4)
 
 
+def _q_ivf_recall(spark, sf):
+    from h3ronpy_spark.operators.similarity import ivf_recall
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # IVF is the second ANN scale path (faiss-style codebook + posting
+    # lists re-expressed as a cluster-id equi-join).  The output also
+    # reports scan_frac — recall must beat the scanned fraction by a wide
+    # margin or the index isn't earning its keep (asserted in pytest).
+    return ivf_recall(emb, q, k=10, n_clusters=16, nprobe=6)
+
+
 def _q_image_resize(spark, sf):
     """Resize + feature plumbing: per-image mean/std of the 16x12 bilinear
     resample of deterministic synth images (multimodal operator surface)."""
@@ -1204,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "similarity_lsh_ann": _q_lsh_ann,
         "ann_recall_at_10": _q_ann_recall,
+        "ivf_recall_at_10": _q_ivf_recall,
         "image_resize_features": _q_image_resize,
         "video_frame_sample": _q_video_frames,
         # H3 grid engine (golden-literal oracles where possible)
@@ -1473,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_simhash_pairs",
                 "similarity_lsh_ann",
                 "ann_recall_at_10",
+                "ivf_recall_at_10",
                 "image_resize_features",
                 "video_frame_sample",
                 "h3_encode",

@@ -91,13 +91,22 @@ def calib_ratio() -> float:
     return round(_CALIB_REF_SECS / best, 3)
 
 
-def calib_par_ratio(nthreads: int = 8) -> float:
-    """Parallel (memory-streaming, GIL-releasing) probe: 8 threads of the
-    same kernel, wall-clock vs pinned quiet floor.  Catches the box's
+def calib_par_ratio(nthreads: int | None = None) -> float:
+    """Parallel (memory-streaming, GIL-releasing) probe: up to 8 threads of
+    the same kernel, wall-clock vs pinned quiet floor.  Catches the box's
     parallel-capacity/bandwidth degradation that the single-core probe
     misses (observed: 1-core ratio 1.0 while 32-way workloads ran 4x
-    slow at 40-80% kernel sys time)."""
+    slow at 40-80% kernel sys time).
+
+    Thread count is capped at the process's pinned core count: the quiet
+    floor assumes each probe thread gets its own core, so running 8
+    threads inside a 2-core-pinned bench would read ~0.25 on a perfectly
+    quiet box and wrongly 'normalize' every 2-core wall by 4x (caught in
+    the round-3 pairB c2 run)."""
     import threading
+
+    if nthreads is None:
+        nthreads = min(8, CPUS)
 
     best = float("inf")
     for _ in range(2):

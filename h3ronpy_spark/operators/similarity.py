@@ -156,6 +156,268 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH.
+#
+# faiss-style structure re-expressed as DataFrame ops: train a small
+# spherical-k-means codebook on a bounded deterministic sample (driver-side
+# numpy — the codebook is tiny and training cost is independent of table
+# size), assign every vector to its nearest centroid with ONE fixed-shape
+# matmul per Arrow chunk (no per-row Python), and turn the N x Q scoring
+# cross product into an equi-join on cluster id where only the nprobe
+# nearest clusters per query are scanned.  At 100 TB the assignment pass is
+# embarrassingly parallel, the probe side is broadcast, and the candidate
+# set per query is ~nprobe/n_clusters of the table.
+#
+# Determinism note (pinned by the golden-parquet oracle): all chunk matmuls
+# are padded to a fixed (_IVF_CHUNK x d) shape so BLAS sees identical
+# matrix shapes regardless of Arrow batch size / partitioning — assignment
+# is bit-identical across cluster widths.
+# ---------------------------------------------------------------------------
+
+_IVF_CHUNK = 256
+
+
+def _ivf_normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    norms[norms == 0.0] = 1.0
+    return mat / norms[:, None]
+
+
+def _ivf_scores_fixed_shape(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Cosine scores of (n, d) rows against (c, d) centroids, computed in
+    zero-padded (_IVF_CHUNK, d) chunks so every BLAS call has an identical
+    shape (bit-stable across batch compositions)."""
+    n, d = mat.shape
+    out = np.empty((n, cents.shape[0]), dtype=np.float64)
+    for lo in range(0, n, _IVF_CHUNK):
+        hi = min(lo + _IVF_CHUNK, n)
+        chunk = np.zeros((_IVF_CHUNK, d), dtype=np.float64)
+        chunk[: hi - lo] = mat[lo:hi]
+        out[lo:hi] = (chunk @ cents.T)[: hi - lo]
+    return out
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 20000,
+    iters: int = 10,
+    seed: int = 12345,
+) -> np.ndarray:
+    """Spherical k-means codebook from a bounded deterministic sample.
+
+    The sample is the first `sample_cap` rows by id — deterministic across
+    partitionings and cheap at any table size (sort happens on the sampled
+    subset's ids only; at 100 TB swap in a `pmod(xxhash64(id), m) == 0`
+    prefilter to thin the scan first).  Training runs seeded kmeans++ +
+    Lloyd on the driver: codebook size is n_clusters x d doubles, so this
+    is O(sample x clusters), independent of table size."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    if len(rows) < n_clusters:
+        raise ValueError(
+            f"IVF training needs >= n_clusters={n_clusters} non-null "
+            f"vectors; sampled {len(rows)}"
+        )
+    mat = _ivf_normalize(
+        np.array([r[1] for r in rows], dtype=np.float64)
+    )
+    rng = np.random.default_rng(seed)
+    # kmeans++ init on the unit sphere (distance = 1 - cos)
+    cents = np.empty((n_clusters, mat.shape[1]), dtype=np.float64)
+    cents[0] = mat[int(rng.integers(len(mat)))]
+    d2 = 1.0 - mat @ cents[0]
+    for c in range(1, n_clusters):
+        probs = np.maximum(d2, 0.0)
+        tot = probs.sum()
+        if tot <= 0:
+            cents[c] = mat[int(rng.integers(len(mat)))]
+        else:
+            cents[c] = mat[int(rng.choice(len(mat), p=probs / tot))]
+        d2 = np.minimum(d2, 1.0 - mat @ cents[c])
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _ivf_normalize(cents)
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """vec -> array of the nprobe nearest centroid ids (exact order by
+    descending cosine, ties broken by centroid id).  Centroids ride into
+    executors inside the UDF closure (n_clusters x d doubles — far under
+    broadcast thresholds)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    d_expect = cents.shape[1]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vec: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = [None] * len(vec)
+        vals = vec.to_numpy()
+        idx = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == d_expect
+        ]
+        if idx:
+            mat = _ivf_normalize(
+                np.stack([np.asarray(vals[i], dtype=np.float64) for i in idx])
+            )
+            scores = _ivf_scores_fixed_shape(mat, cents)
+            # stable order: descending score, ascending centroid id
+            order = np.lexsort(
+                (np.arange(cents.shape[0])[None, :].repeat(len(idx), 0), -scores),
+                axis=1,
+            )[:, :nprobe].astype(np.int32)
+            for k, i in enumerate(idx):
+                out[i] = order[k].tolist()
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    **train_kw,
+) -> DataFrame:
+    """Approximate top-k via IVF: each vector lives in exactly one
+    centroid's posting list; each query scans its nprobe nearest lists.
+    The scoring join is an equi-join on `cluster` with the probe side
+    broadcast — never a cross product.  Pass `centroids` to reuse a
+    trained codebook across queries/batches (the production shape: train
+    once, assign incrementally).  Recall depends on how clusterable the
+    corpus is; isotropic corpora need higher nprobe (see ivf_recall)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings,
+            n_clusters=n_clusters,
+            id_col=id_col,
+            vec_col=vec_col,
+            **train_kw,
+        )
+    emb_c = embeddings.select(
+        id_col,
+        vec_col,
+        ivf_assign_udf(centroids, nprobe=1)(F.col(vec_col))[0].alias("cluster"),
+    )
+    probes = queries.select(
+        qid_col,
+        qvec_col,
+        F.explode(
+            ivf_assign_udf(centroids, nprobe=nprobe)(F.col(qvec_col))
+        ).alias("cluster"),
+    )
+    j = emb_c.join(F.broadcast(probes), "cluster")
+    scored = j.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos_sim"),
+    ).dropDuplicates([qid_col, id_col])
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    **kw,
+) -> DataFrame:
+    """Recall@k of ivf_topk vs the exact brute-force truth, plus the mean
+    fraction of the table each query actually scanned (the accuracy/cost
+    dial IVF exposes).  One row: (n_queries, recall, scan_frac)."""
+    qid_col = kw.get("qid_col", "qid")
+    id_col = kw.get("id_col", "vec_id")
+    vec_col = kw.get("vec_col", "embedding")
+    centroids = train_ivf_centroids(
+        embeddings,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        **{
+            k2: v
+            for k2, v in kw.items()
+            if k2 in ("sample_cap", "iters", "seed")
+        },
+    )
+    kw2 = {
+        k2: v for k2, v in kw.items() if k2 in ("id_col", "vec_col", "qid_col", "qvec_col")
+    }
+    truth = brute_force_topk(embeddings, queries, k=k, **kw2).select(
+        qid_col, id_col
+    )
+    approx = ivf_topk(
+        embeddings,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        centroids=centroids,
+        **kw2,
+    ).select(qid_col, F.col(id_col).alias("__approx_id"))
+    hit = truth.join(
+        approx,
+        (truth[qid_col] == approx[qid_col])
+        & (truth[id_col] == approx["__approx_id"]),
+        "left_semi",
+    )
+    # scanned rows per query = posting-list sizes of its probed clusters
+    emb_c = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        ivf_assign_udf(centroids, nprobe=1)(F.col(vec_col))[0].alias("cluster")
+    )
+    sizes = emb_c.groupBy("cluster").count()
+    n_total = embeddings.filter(F.col(vec_col).isNotNull()).count()
+    qvec_col = kw.get("qvec_col", "qvec")
+    probes = queries.select(
+        qid_col,
+        F.explode(
+            ivf_assign_udf(centroids, nprobe=nprobe)(F.col(qvec_col))
+        ).alias("cluster"),
+    )
+    scan = (
+        probes.join(F.broadcast(sizes), "cluster")
+        .groupBy(qid_col)
+        .agg(F.sum("count").alias("scanned"))
+        .agg(F.avg(F.col("scanned") / F.lit(float(n_total))).alias("sf"))
+    )
+    return (
+        truth.agg(
+            F.countDistinct(qid_col).alias("n_queries"),
+            F.count("*").alias("n_truth"),
+        )
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .crossJoin(scan)
+        .select(
+            "n_queries",
+            F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"),
+            F.round(F.col("sf"), 4).alias("scan_frac"),
+        )
+    )
+
+
 def ann_recall(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -41,12 +41,23 @@ def flagship(
     tiles = tile_images(images, res=res, nodata=0)
     polys = synth_polygons(spark, n_polygons, seed=seed)
     joined = pip_join(tiles, polys, res=res, salt=salt, coverage=coverage)
+    # Two countDistinct in one agg would plan an Expand (x2 row blowup over
+    # EVERY tile row — the round-2 100x watch item).  caption is constant
+    # per image, so pre-reducing to (poly, image) granularity first makes
+    # the final agg a single countDistinct over already-reduced rows: both
+    # stages keep map-side partial aggregation and no Expand appears
+    # (asserted in tests/test_plan_shapes.py).
+    per_img = joined.groupBy("poly_id", "image_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("px_value").alias("sum_px"),
+        F.first("caption").alias("caption"),
+    )
     return (
-        joined.groupBy("poly_id")
+        per_img.groupBy("poly_id")
         .agg(
-            F.count("*").alias("n_tiles"),
-            F.countDistinct("image_id").alias("n_images"),
-            F.sum("px_value").alias("sum_px"),
+            F.sum("n_tiles").alias("n_tiles"),
+            F.count("*").alias("n_images"),
+            F.sum("sum_px").alias("sum_px"),
             F.countDistinct("caption").alias("n_captions"),
         )
         .orderBy("poly_id")

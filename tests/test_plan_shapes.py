@@ -92,6 +92,19 @@ class TestPlans:
         assert plan.count("ArrowEvalPython") == 1, plan
 
 
+class TestFlagshipPlan:
+    def test_no_expand_in_rollup(self, spark):
+        """Two countDistinct in one agg would plan an Expand (x2 row blowup
+        over every tile row); the two-stage rollup must not."""
+        from h3ronpy_spark.plans.flagship import flagship
+
+        df = flagship(spark, 32, n_polygons=5)
+        plan = _plan(df)
+        assert "Expand" not in plan, plan
+        # still ends in a partial+final hash aggregation pair
+        assert plan.count("HashAggregate") >= 4
+
+
 class TestLiftedCoverage:
     def test_lifted_join_still_broadcast_with_fewer_prefixes(self, spark):
         from h3ronpy_spark.operators.spatial_join import (

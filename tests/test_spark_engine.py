@@ -563,3 +563,82 @@ class TestTableSource:
         write_table(df, p, mode="overwrite")
         back = read_table(spark, p, snapshot_id="synth-0")
         assert back.count() == 100 and back.columns == ["k"]
+
+
+class TestIVF:
+    """IVF ANN: codebook training, partition-invariant assignment, recall."""
+
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def test_assignment_partition_invariant(self, spark):
+        """Cluster assignment must be bit-identical whatever the Arrow
+        batch composition — the property the fixed-shape padded matmul
+        buys (same lesson as the simhash tokenizer incident)."""
+        from h3ronpy_spark.operators.similarity import (
+            ivf_assign_udf,
+            train_ivf_centroids,
+        )
+        import pyspark.sql.functions as F
+
+        emb = self._emb(spark)
+        cents = train_ivf_centroids(emb, n_clusters=8)
+        udf = ivf_assign_udf(cents, nprobe=3)
+        a1 = {
+            r["vec_id"]: r["c"]
+            for r in emb.repartition(1)
+            .select("vec_id", udf(F.col("embedding")).alias("c"))
+            .collect()
+        }
+        a7 = {
+            r["vec_id"]: r["c"]
+            for r in emb.repartition(7, "vec_id")
+            .select("vec_id", udf(F.col("embedding")).alias("c"))
+            .collect()
+        }
+        assert a1 == a7 and len(a1) == emb.count()
+
+    def test_centroids_deterministic(self, spark):
+        from h3ronpy_spark.operators.similarity import train_ivf_centroids
+        import numpy as np
+
+        emb = self._emb(spark)
+        c1 = train_ivf_centroids(emb, n_clusters=8)
+        c2 = train_ivf_centroids(emb, n_clusters=8)
+        assert c1.shape == (8, 64) and np.array_equal(c1, c2)
+        # unit-norm codebook (spherical k-means)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_recall_beats_scan_fraction(self, spark):
+        """IVF only earns its keep if recall far exceeds the fraction of
+        the table scanned (random scanning would give recall ~= scan_frac)."""
+        from h3ronpy_spark.operators.similarity import ivf_recall
+        import pyspark.sql.functions as F
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        row = ivf_recall(emb, q, k=10, n_clusters=16, nprobe=6).collect()[0]
+        assert row["n_queries"] == 8
+        assert row["scan_frac"] < 0.75
+        assert row["recall"] >= row["scan_frac"] + 0.15
+
+    def test_ivf_topk_exact_when_probing_everything(self, spark):
+        """nprobe == n_clusters degrades IVF to exact brute force."""
+        from h3ronpy_spark.operators.similarity import brute_force_topk, ivf_topk
+        import pyspark.sql.functions as F
+
+        emb = self._emb(spark).filter(F.col("vec_id") < 200)
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        exact = {
+            (r["qid"], r["rank"]): r["vec_id"]
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        ivf = {
+            (r["qid"], r["rank"]): r["vec_id"]
+            for r in ivf_topk(emb, q, k=5, n_clusters=4, nprobe=4).collect()
+        }
+        assert ivf == exact

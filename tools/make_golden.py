@@ -35,6 +35,7 @@ GOLDEN_QUERIES = [
     "dedup_simhash_pairs",
     "similarity_lsh_ann",
     "ann_recall_at_10",
+    "ivf_recall_at_10",
     "image_resize_features",
     "video_frame_sample",
     "h3_encode",
