@@ -62,7 +62,18 @@ def lift_coverage(
     the probe side joins via one ancestor per coverage resolution —
     narrowing the band from e.g. [2..7] to [5..7] halves the exploded
     probe rows for a tiny coverage-size increase (cells coarser than
-    min_res are few by construction: O(area / 7^min_res))."""
+    min_res are few by construction: O(area / 7^min_res)).
+
+    CAUTION (round-3 measurement): this trade only pays while the lifted
+    coverage stays small.  Every coverage row is built into the broadcast
+    hash relation SINGLE-THREADED on the driver (a serial stage executors
+    cannot help with), while probe-side ancestor rows are codegen'd and
+    fully parallel.  Lifting a res-9 coverage [7..9] grew 468k -> 2.29M
+    rows and turned a sub-second build into a 7-12 s driver stall that
+    dominated the whole pipeline; the unlifted compact coverage was 1.6x
+    faster end-to-end.  Rule of thumb: lift only bands whose lifted row
+    count stays within ~2x the compact count (true for coarse, low-res
+    coverages like the 24M-point scaling workload's res-7 one)."""
     from .compact import uncompact_cells
 
     r = H.cells_resolution(F.col(cell_col))
