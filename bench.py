@@ -58,13 +58,20 @@ REP_BUDGET = float(os.environ.get("BENCH_REP_BUDGET", "300"))
 # raw wall time.
 # ---------------------------------------------------------------------------
 
-_CALIB_REF_SECS = 0.249  # quiet-window floor of _calib_once() on this box
+_CALIB_REF_SECS = 0.2575  # quiet-window floor of _calib_once() on this box
 # quiet floor of the PARALLEL probe (aggregate seconds for 8 threads x
 # _calib_once-sized streaming work); round-3 finding: this box degrades
 # 2-8x on parallel/bandwidth-heavy work (kernel sys-time 40-80%) while a
 # single core still reads quiet, so a single-core probe alone cannot
-# certify a window
-_CALIB_PAR_REF_SECS = 0.28
+# certify a window.
+# Floors re-pinned late round 3 (was 0.249 / 0.28): a --calibrate run in
+# a /proc-verified calm window (steal+extern == 0) measured the parallel
+# floor 22% higher — with the stale floor no calm window could ever read
+# >= 0.85, which matched the observed always-False quiet flags while
+# in-rep pressure showed the reps were calm.  Re-derive with
+# `python bench.py --calibrate` whenever quiet flags and pressure fields
+# disagree.
+_CALIB_PAR_REF_SECS = 0.34
 
 
 def _calib_once() -> float:

@@ -248,34 +248,29 @@ def spark_cells_concave_hull(
     (hull(hull(A) u hull(B)) != hull(A u B)), so the reduction is dedupe
     only; `max_points` guards the driver collect and the operator RAISES
     when exceeded (silent truncation would hull an arbitrary,
-    partition-order-dependent subset).  The result is deterministic
-    across partitionings: the kernel sorts its input (np.unique) before
-    hulling.  At 100-TB scale, pre-compact the cell set
-    (operators.compact) or hull per spatial bucket."""
+    partition-order-dependent subset).
+
+    Determinism across partitionings is achieved by deduping on exact
+    int64 H3 VERTEX IDS (shared corners canonicalize to one id), not on
+    floating-point coordinates: numpy's SIMD trig gives position-in-batch
+    dependent last-ulp jitter, so the same vertex computed in two batch
+    layouts can compare unequal as a double (caught by the
+    two-partitionings test).  Coordinates are computed ONCE on the
+    driver from the sorted distinct ids — the same input array every
+    run.  At 100-TB scale, pre-compact the cell set (operators.compact)
+    or hull per spatial bucket."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField("lng", T.DoubleType()),
-            T.StructField("lat", T.DoubleType()),
-        ]
-    )
+    schema = T.StructType([T.StructField("vertex", T.LongType())])
 
     def partial(batches):
-        from .boundary import cell_boundary
+        from .edges import cells_to_vertexes
 
         for b in batches:
-            cells = b[cell_col].to_numpy(np.int64)
-            lats, lngs, counts = cell_boundary(cells)
-            keep = counts > 0
-            pts = np.stack(
-                [np.degrees(lngs[keep]).ravel(), np.degrees(lats[keep]).ravel()],
-                axis=-1,
-            )
-            pts = pts[np.isfinite(pts).all(axis=1)]
-            pts = np.unique(pts, axis=0)
-            yield pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1]})
+            cells = np.unique(b[cell_col].to_numpy(np.int64))
+            _, verts = cells_to_vertexes(cells)
+            yield pd.DataFrame({"vertex": np.unique(verts)})
 
     # bounded collect: fetch max_points + 1 rows so an overflow is
     # detected without pulling an unbounded vertex set to the driver
@@ -293,7 +288,13 @@ def spark_cells_concave_hull(
         )
     if parts.empty:
         return None
-    hull = concave_hull(parts[["lng", "lat"]].to_numpy(), concavity)
+    from .edges import vertexes_to_latlng
+
+    vids = np.sort(parts["vertex"].to_numpy(np.int64))
+    vlat, vlng = vertexes_to_latlng(vids)
+    pts = np.stack([np.degrees(vlng), np.degrees(vlat)], axis=-1)
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    hull = concave_hull(pts, concavity)
     if hull.shape[0] < 3:
         return None
     from .wkb import write_polygon

@@ -105,6 +105,25 @@ class TestFlagshipPlan:
         assert plan.count("HashAggregate") >= 4
 
 
+class TestIVFPlan:
+    def test_probe_side_broadcast_no_cartesian(self, spark):
+        """The IVF candidate join must be a broadcast hash equi-join on the
+        cluster id — never a cartesian/nested-loop product."""
+        from h3ronpy_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        )
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        df = ivf_topk(emb, q, k=5, n_clusters=8, nprobe=2)
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestLiftedCoverage:
     def test_lifted_join_still_broadcast_with_fewer_prefixes(self, spark):
         from h3ronpy_spark.operators.spatial_join import (
