@@ -533,15 +533,17 @@ def _pip_coverage(spark, n_polys: int, seed: int, res: int):
     key = (id(spark), n_polys, seed, res)
     cov = _PIP_COV_CACHE.get(key)
     if cov is None:
-        from h3ronpy_spark.operators.spatial_join import lift_coverage
-
+        # NOT lifted (round 3): lifting [res-2..res] grew this coverage
+        # 329k -> 757k rows, and every broadcast row is built into the
+        # hash relation single-threaded on the driver — measured 1.8x
+        # slower end-to-end than the compact coverage (see
+        # lift_coverage's docstring for the rule of thumb)
         polys = synth_polygons(spark, n_polys, seed=seed)
-        cov = lift_coverage(
-            polyfill_polygons(polys, res, compact=True).withColumnRenamed(
-                "cell", "__poly_cell"
-            ),
-            res - 2,
-        ).persist()
+        cov = (
+            polyfill_polygons(polys, res, compact=True)
+            .withColumnRenamed("cell", "__poly_cell")
+            .persist()
+        )
         cov.count()
         _PIP_COV_CACHE[key] = cov
     return cov
