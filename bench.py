@@ -555,7 +555,10 @@ def main() -> None:
                 r >= 0.85 and _is_calm(p)
                 for r, p in zip(hl_ratios, hl_press)
             )
-            if pass_quiet or time.time() - t_section > REP_BUDGET:
+            # pass 1 doubles as warm-up (python worker spin-up, broadcast
+            # builds): never stop before a second, warmed pass — the other
+            # sections all run an untimed warm-up rep for the same reason
+            if (pass_i >= 1 and pass_quiet) or time.time() - t_section > REP_BUDGET:
                 break
         extra["headline_calib_ratios"] = hl_ratios
         extra["headline_rep_pressure"] = hl_press
