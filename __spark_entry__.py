@@ -1148,8 +1148,10 @@ def _q_events_sessions_stream(spark, sf):
         # readStream needs a directory source; the sf table is one file
         src = os.path.join(tmp, "events_src")
         os.makedirs(src)
+        # abspath: a relative sf dir would otherwise resolve the symlink
+        # target relative to the temp dir (ADVICE r03)
         os.symlink(
-            os.path.join(sf, "events.parquet"),
+            os.path.abspath(os.path.join(sf, "events.parquet")),
             os.path.join(src, "events.parquet"),
         )
         sessions = stream_user_sessions(spark, src, gap_s=1800)

@@ -24,6 +24,20 @@ from .. import functions as H
 
 _GROUP_RES = 2
 
+# most-recent persisted intermediate (round-4, ADVICE r03): iterative
+# callers used to accrete one MEMORY_AND_DISK cache per compact_cells call
+# until session end; now each new call releases the previous call's
+# intermediate, bounding default cache growth at one (small, compacted)
+# DataFrame.  Callers that interleave actions on older compact results
+# simply recompute (correctness unaffected).
+_LAST_PERSISTED: list = []
+
+
+def unpersist_intermediates() -> None:
+    """Release any intermediate compact_cells persisted (blocking=False)."""
+    while _LAST_PERSISTED:
+        _LAST_PERSISTED.pop().unpersist()
+
 
 def compact_cells(
     df: DataFrame, cell_col: str = "cell", persist_intermediate: bool = True
@@ -39,9 +53,10 @@ def compact_cells(
     (verified: no ReusedExchange in the executed plan), so by default the
     intermediate is persisted (MEMORY_AND_DISK) — otherwise the full input
     scan + kernel would run twice.  The cached set is the *compacted*
-    output (small); it stays cached until the session ends or the LRU
-    evicts it — callers running many compacts can pass
-    persist_intermediate=False or spark.catalog.clearCache()."""
+    output (small); only the MOST RECENT call's intermediate stays cached
+    (each call releases the previous one's), and
+    `unpersist_intermediates()` releases that too — callers that never
+    want caching pass persist_intermediate=False."""
     from ..h3core import index as IDX
 
     cur = df.select(F.col(cell_col).alias("cell")).distinct()
@@ -57,6 +72,8 @@ def compact_cells(
     grouped = fine.groupBy("__anc").applyInPandas(_compact_group, "cell long")
     if persist_intermediate:
         grouped = grouped.persist()
+        unpersist_intermediates()
+        _LAST_PERSISTED.append(grouped)
     # cells promoted all the way to the group ancestor (res == _GROUP_RES)
     # may form complete sibling sets ACROSS groups; finish them with the
     # same kernel in a single-group second stage together with the

@@ -43,6 +43,67 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 # ---------------------------------------------------------------------------
+# bucket-skew guard (round-4, VERDICT r03 "What's wrong" #1)
+#
+# Every candidate-pair family self-joins on a bucket key; a degenerate
+# bucket (empty strings, boilerplate headers) makes that join quadratic in
+# the bucket size — a join explosion AQE cannot split.  Guard: count
+# bucket sizes (one map-side-combinable agg, co-keyed with the join
+# shuffle), then SUB-SPLIT any bucket over `max_bucket` rows into
+# ceil(size / max_bucket) sub-buckets by pmod(xxhash64(id), n_sub).  The
+# sub-bucket is a function of the row id alone within a bucket, so every
+# RETAINED pair still verifies against full signatures (exact
+# est_jaccard / hamming / ngram intersection) — capping degrades recall
+# on pathological buckets, never corrupts values — and per-task work is
+# bounded by ~max_bucket^2/2 pairs regardless of data skew.  Buckets at
+# or under the cap get n_sub == 1 (behavior byte-identical to no guard).
+# ---------------------------------------------------------------------------
+
+DEFAULT_MAX_BUCKET = 2000
+
+
+def _subsplit_hot_buckets(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Append a `__sub` column refining (key_cols) so no (key_cols,
+    __sub) group exceeds ~max_bucket rows in expectation; `__sub` is 0
+    everywhere when no bucket is hot (or max_bucket is None)."""
+    if max_bucket is None:
+        return rows.withColumn("__sub", F.lit(0).cast("long"))
+    sizes = rows.groupBy(*key_cols).agg(F.count("*").alias("__bsz"))
+    n_sub = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("__bsz") / F.lit(float(max_bucket))).cast("long"),
+    )
+    return (
+        rows.join(sizes, key_cols)
+        .withColumn("__sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub))
+        .drop("__bsz")
+    )
+
+
+def bucket_skew_stats(
+    rows: DataFrame,
+    key_cols: list[str],
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Oversized buckets a guard would sub-split: (key_cols..., size,
+    n_sub), for visibility/reporting (bench + tests)."""
+    return (
+        rows.groupBy(*key_cols)
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_bucket)
+        .withColumn(
+            "n_sub",
+            F.ceil(F.col("size") / F.lit(float(max_bucket))).cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
@@ -78,7 +139,12 @@ def minhash_signature(text: pd.Series) -> pd.Series:
         rowidx: list[int] = []
         for r in range(i, j):
             t = vals[r]
-            if t is None:
+            # the null gate is CHARACTER length, matching the round-2
+            # per-row kernel (1-3 multibyte chars -> null even though the
+            # utf-8 encoding is >= 4 bytes); byte length >= char length,
+            # so the byte check below can only fire for "ignore"-dropped
+            # unencodable sequences
+            if t is None or len(t) < 4:
                 continue
             b = t.encode("utf-8", "ignore")
             if len(b) < 4:
@@ -119,9 +185,14 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash, verified by signature
-    Jaccard estimate >= threshold. Returns (id_a, id_b, est_jaccard)."""
+    Jaccard estimate >= threshold. Returns (id_a, id_b, est_jaccard).
+
+    Hot (band, bucket) groups beyond `max_bucket` rows are sub-split (see
+    _subsplit_hot_buckets): bounded task size under adversarial skew,
+    byte-identical output when no bucket is hot."""
     sigs = docs.select(
         F.col(id_col).alias("id"), minhash_signature(F.col(text_col)).alias("sig")
     ).filter(F.col("sig").isNotNull())
@@ -148,6 +219,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = _subsplit_hot_buckets(
+        bands, ["band", "bucket"], max_bucket=max_bucket
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -155,6 +229,7 @@ def minhash_lsh_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -336,6 +411,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash: banded Hamming bucket join.
 
@@ -344,7 +420,9 @@ def simhash_pairs(
     band (pigeonhole), so the candidate join is a plain equi-join on
     (band, band_value) — a shuffle on the band key, never an all-pairs
     product.  Candidates are then verified with an exact JVM-side popcount
-    (``bit_count``).
+    (``bit_count``).  Hot (band, key) groups beyond `max_bucket` rows are
+    sub-split (see _subsplit_hot_buckets): bounded task size under
+    adversarial skew, byte-identical output when no bucket is hot.
 
     Returns (id_a, id_b, hamming).  Reference n/a (dedup family is part of
     the training-data-pipeline surface, not h3ronpy)."""
@@ -377,6 +455,7 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "sim", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    bands = _subsplit_hot_buckets(bands, ["band", "key"], max_bucket=max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -384,6 +463,7 @@ def simhash_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -415,19 +495,28 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     bucket_chars: int = 32,
     threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Jaccard over word n-grams for pairs sharing a prefix bucket.
 
     Pure DataFrame ops (explode + groupBy + join) so the DuckDB oracle can
-    reproduce it exactly."""
+    reproduce it exactly.
+
+    The skew guard sub-splits at the PREFIX-BUCKET level (doc counts, not
+    gram rows): a pair either shares a sub-bucket for ALL its grams or for
+    none, so retained pairs keep exact intersection counts — the guard can
+    only drop pairs from pathological buckets, never skew a jaccard
+    value."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.substring(F.col(text_col), 1, bucket_chars).alias("bucket"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
     )
+    toks = _subsplit_hot_buckets(toks, ["bucket"], max_bucket=max_bucket)
     grams = toks.select(
         "id",
         "bucket",
+        "__sub",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
@@ -441,6 +530,7 @@ def ngram_jaccard_pairs(
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id")),
         )

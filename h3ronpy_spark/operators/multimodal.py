@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.images import decode_image
+from ..sources.images import codec_snapshot, decode_image_with
 
 # ---------------------------------------------------------------------------
 # resize
@@ -69,6 +69,7 @@ def resize_images(
     (fmt becomes raw8: the resample output is an uncompressed band)."""
     if method not in ("nearest", "bilinear"):
         raise ValueError("method must be nearest or bilinear")
+    codecs = codec_snapshot()  # plan-build capture: rides the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -76,7 +77,9 @@ def resize_images(
             fmts = b["fmt"].tolist()
             out = []
             for i in range(len(b)):
-                band = decode_image(blobs[i], int(wc[i]), int(hc[i]), fmts[i])
+                band = decode_image_with(
+                    codecs, blobs[i], int(wc[i]), int(hc[i]), fmts[i]
+                )
                 out.append(
                     _resize_band(band, out_w, out_h, method).tobytes()
                 )
@@ -114,6 +117,7 @@ def extract_image_features(images: DataFrame) -> DataFrame:
     horizontal+vertical edge energy, and an 8-bin intensity histogram —
     a deterministic, fully-computed feature vector usable by the
     similarity operators (brute_force_topk / lsh_topk)."""
+    codecs = codec_snapshot()  # plan-build capture: rides the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -121,8 +125,8 @@ def extract_image_features(images: DataFrame) -> DataFrame:
             fmts = b["fmt"].tolist()
             vecs = []
             for i in range(len(b)):
-                band = decode_image(
-                    blobs[i], int(wc[i]), int(hc[i]), fmts[i]
+                band = decode_image_with(
+                    codecs, blobs[i], int(wc[i]), int(hc[i]), fmts[i]
                 ).astype(np.float64)
                 gx = np.abs(np.diff(band, axis=1)).mean() if band.shape[1] > 1 else 0.0
                 gy = np.abs(np.diff(band, axis=0)).mean() if band.shape[0] > 1 else 0.0

@@ -16,7 +16,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..sources.images import decode_image, georef_of_phash
+from ..sources.images import (
+    codec_snapshot,
+    decode_image_with,
+    georef_of_phash,
+)
 
 # Spark value type per requested tile value kind; the reference converts
 # rasters of {u,i}{8,16,32,64}, f32, f64 (h3ronpy/src/raster.rs:210-219) —
@@ -60,6 +64,7 @@ def tile_images(
     if value_type not in _VALUE_TYPES:
         raise ValueError(f"value_type must be one of {sorted(_VALUE_TYPES)}")
     _, np_t = _VALUE_TYPES[value_type]
+    codecs = codec_snapshot()  # plan-build capture: rides the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..h3core.rasterh3 import rasters_to_cells_batch
@@ -71,7 +76,9 @@ def tile_images(
             hcol = b["h"].to_numpy(np.int64)
             fmts = b["fmt"].tolist()
             bands = [
-                decode_image(blobs[i], int(wcol[i]), int(hcol[i]), fmts[i])
+                decode_image_with(
+                    codecs, blobs[i], int(wcol[i]), int(hcol[i]), fmts[i]
+                )
                 for i in range(len(b))
             ]
             tfs = np.zeros((len(b), 6))

@@ -218,7 +218,13 @@ def test_minhash_chunked_matches_per_row(texts):
     got = list(minhash_signature.func(pd.Series(texts, dtype=object)))
     seeds = splitmix64(np.arange(1, 33, dtype=np.uint64))
     for t, g in zip(texts, got):
-        b = t.encode("utf-8", "ignore") if t is not None else b""
+        # round-2 semantics (restored in round-4 per ADVICE r03): the
+        # null gate is CHARACTER length — 1-3 multibyte chars are null
+        # even when their utf-8 encoding reaches 4 bytes
+        if t is None or len(t) < 4:
+            assert g is None
+            continue
+        b = t.encode("utf-8", "ignore")
         if len(b) < 4:
             assert g is None
             continue

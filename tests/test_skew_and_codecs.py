@@ -1,0 +1,315 @@
+"""Round-4 additions: bucket-skew guards on the candidate-pair
+self-joins (VERDICT r03 "What's wrong" #1), band-key partition
+invariance (ADVICE r03), and the pluggable image-codec registry
+(VERDICT r03 item 5)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from h3ronpy_spark.session import get_spark
+
+    s = get_spark("local[4]", app_name="h3spark_skew_tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _degenerate_docs(spark, n=10_000):
+    """n documents with IDENTICAL text: every minhash/simhash band maps
+    them into ONE bucket — the adversarial join-explosion shape."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate header text appears on every single page"
+        ).alias("text"),
+    )
+
+
+class TestSkewGuards:
+    def test_minhash_degenerate_bucket_bounded(self, spark):
+        """10k identical docs: without a guard the band self-join emits
+        ~8 * 10k^2/2 = 400M candidate rows; with max_bucket=100 the
+        per-sub-bucket work is bounded (~100 subs x ~100 rows each) and
+        the job finishes in bounded time.  Retained pairs must still
+        carry the EXACT signature-jaccard (1.0 for identical text)."""
+        from h3ronpy_spark.operators.dedup import (
+            bucket_skew_stats,
+            minhash_lsh_pairs,
+            minhash_signature,
+            _BANDS,
+            _N_HASHES,
+        )
+
+        docs = _degenerate_docs(spark, 10_000)
+        t0 = time.monotonic()
+        pairs = minhash_lsh_pairs(docs, max_bucket=100)
+        n_pairs = pairs.count()
+        elapsed = time.monotonic() - t0
+        # every retained pair is exact-identical -> est_jaccard == 1.0
+        assert pairs.filter(F.col("est_jaccard") < 1.0).count() == 0
+        # bounded candidate volume: ~n_bands * n_sub * max_bucket^2 / 2
+        # (dedup'd across bands); far below the unguarded 400M
+        assert 0 < n_pairs < 8 * 100 * (100 * 101) // 2
+        assert elapsed < 120.0
+        # the guard's visibility hook reports the hot buckets
+        sigs = docs.select(
+            F.col("doc_id").alias("id"),
+            minhash_signature(F.col("text")).alias("sig"),
+        ).filter(F.col("sig").isNotNull())
+        rows_per_band = _N_HASHES // _BANDS
+        bands = sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("sig")[i]
+                                    for i in range(
+                                        b * rows_per_band,
+                                        (b + 1) * rows_per_band,
+                                    )
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bucket")
+        stats = bucket_skew_stats(
+            bands, ["band", "bucket"], max_bucket=100
+        ).collect()
+        assert len(stats) == 8  # one hot bucket per band
+        assert all(r["size"] == 10_000 and r["n_sub"] == 100 for r in stats)
+
+    def test_simhash_degenerate_bucket_bounded(self, spark):
+        from h3ronpy_spark.operators.dedup import simhash_pairs
+
+        docs = _degenerate_docs(spark, 5_000)
+        t0 = time.monotonic()
+        pairs = simhash_pairs(docs, max_bucket=100)
+        n_pairs = pairs.count()
+        assert time.monotonic() - t0 < 120.0
+        assert 0 < n_pairs < 4 * 50 * (100 * 101) // 2
+        # retained pairs verify exactly: identical text -> hamming 0
+        assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+    def test_ngram_degenerate_bucket_exact_values(self, spark):
+        """The ngram guard splits at the prefix-bucket level so retained
+        pairs keep EXACT jaccard (identical docs -> 1.0); and with no
+        hot bucket the guarded output is byte-identical to unguarded."""
+        from h3ronpy_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _degenerate_docs(spark, 2_000)
+        pairs = ngram_jaccard_pairs(docs, max_bucket=50)
+        sample = pairs.limit(20).collect()
+        assert sample and all(r["jaccard"] == 1.0 for r in sample)
+
+    def test_guard_off_at_small_scale_identical(self, spark):
+        """On real (non-degenerate) data below the cap the guard must be
+        a no-op: identical pair sets with and without it."""
+        from h3ronpy_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            simhash_pairs,
+        )
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+        a = sorted(
+            map(tuple, minhash_lsh_pairs(docs, max_bucket=None).collect())
+        )
+        b = sorted(
+            map(tuple, minhash_lsh_pairs(docs, max_bucket=2000).collect())
+        )
+        assert a == b
+        c = sorted(map(tuple, simhash_pairs(docs, max_bucket=None).collect()))
+        d = sorted(map(tuple, simhash_pairs(docs, max_bucket=2000).collect()))
+        assert c == d
+
+    def test_lsh_topk_posting_cap(self, spark):
+        """An over-popular posting list is dropped from the candidate
+        side; results for normal buckets are unaffected."""
+        from h3ronpy_spark.operators.similarity import lsh_topk
+
+        rng = np.random.default_rng(7)
+        # 500 degenerate identical vectors (one hot bucket per band) + 50
+        # random ones
+        hot = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(500)]
+        rnd = [
+            (500 + i, rng.standard_normal(4).tolist()) for i in range(50)
+        ]
+        emb = spark.createDataFrame(
+            hot + rnd, "vec_id long, embedding array<float>"
+        )
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0])], "qid long, qvec array<float>"
+        )
+        capped = lsh_topk(emb, q, k=5, max_bucket=100)
+        uncapped = lsh_topk(emb, q, k=5, max_bucket=None)
+        # uncapped finds the identical vectors; capped dropped their
+        # (shared) posting lists, so its top-k comes from elsewhere —
+        # both run to completion with k rows
+        assert uncapped.count() == 5 and capped.count() == 5
+        assert uncapped.filter(F.col("cos_sim") == 1.0).count() == 5
+
+
+class TestBandKeyInvariance:
+    def test_band_keys_partition_invariant(self, spark):
+        """ADVICE r03: band keys must be bit-stable under repartition /
+        Arrow batch recomposition (fixed-shape padded matmul)."""
+        from h3ronpy_spark.operators.similarity import lsh_band_keys
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        keys = lsh_band_keys()
+        a = {
+            r["vec_id"]: tuple(r["k"])
+            for r in emb.repartition(1)
+            .select("vec_id", keys(F.col("embedding")).alias("k"))
+            .collect()
+        }
+        b = {
+            r["vec_id"]: tuple(r["k"])
+            for r in emb.repartition(16, "vec_id")
+            .select("vec_id", keys(F.col("embedding")).alias("k"))
+            .collect()
+        }
+        assert a == b
+
+    def test_band_keys_chunk_boundary_invariant(self, spark):
+        """Same vectors through different batch compositions (alone vs
+        alongside 1000 others) must produce identical keys."""
+        import pandas as pd
+
+        from h3ronpy_spark.operators.similarity import lsh_band_keys
+
+        rng = np.random.default_rng(11)
+        vecs = [rng.standard_normal(16).astype(np.float64) for _ in range(1050)]
+        f = lsh_band_keys().func
+        whole = f(pd.Series(vecs, dtype=object))
+        solo = f(pd.Series(vecs[:7], dtype=object))
+        for i in range(7):
+            assert list(whole[i]) == list(solo[i])
+
+
+class TestCodecRegistry:
+    def test_registered_codec_end_to_end(self, spark):
+        """A toy RLE codec registered on the DRIVER must flow through
+        resize + feature extraction (executor-side decode via the
+        closure-captured snapshot)."""
+        from h3ronpy_spark.operators.multimodal import (
+            extract_image_features,
+            resize_images,
+        )
+        from h3ronpy_spark.sources.images import (
+            register_codec,
+            unregister_codec,
+        )
+
+        def rle_decode(blob, w, h, fmt):
+            # pairs of (count, value) bytes
+            out = []
+            for i in range(0, len(blob), 2):
+                out.extend([blob[i + 1]] * blob[i])
+            return np.array(out, dtype=np.uint8).reshape(int(h), int(w))
+
+        def rle_encode(band):
+            flat = band.ravel()
+            out = bytearray()
+            i = 0
+            while i < len(flat):
+                j = i
+                while j < len(flat) and flat[j] == flat[i] and j - i < 255:
+                    j += 1
+                out += bytes([j - i, int(flat[i])])
+                i = j
+            return bytes(out)
+
+        band = np.arange(64, dtype=np.uint8).reshape(8, 8) // 4
+        blob = rle_encode(band)
+        register_codec("toy_rle", rle_decode)
+        try:
+            imgs = spark.createDataFrame(
+                [("img0", blob, 8, 8, "toy_rle", "cap", 1)],
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+            resized = resize_images(imgs, 4, 4, method="nearest").first()
+            assert resized["fmt"] == "raw8"
+            got = np.frombuffer(
+                bytes(resized["bytes"]), dtype=np.uint8
+            ).reshape(4, 4)
+            want = band[::2, ::2]
+            assert (got == want).all()
+            feats = extract_image_features(imgs).first()
+            assert abs(feats["embedding"][0] - band.mean()) < 1e-4
+        finally:
+            unregister_codec("toy_rle")
+
+    def test_unregistered_codec_raises(self, spark):
+        from h3ronpy_spark.sources.images import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x00", 1, 1, "png")
+
+    def test_tiling_with_registered_codec(self, spark):
+        """tile_images decodes through the registry too: a toy codec
+        produces the same tiles as the equivalent raw8 payload."""
+        from h3ronpy_spark.operators.tiling import tile_images
+        from h3ronpy_spark.sources.images import (
+            register_codec,
+            unregister_codec,
+        )
+
+        def xor_decode(blob, w, h, fmt):
+            a = np.frombuffer(blob, dtype=np.uint8) ^ 0xFF
+            return a.reshape(int(h), int(w))
+
+        band = (np.arange(48, dtype=np.uint8) % 7).reshape(6, 8)
+        register_codec("toy_xor", xor_decode)
+        try:
+            phash = 123456789
+            raw = spark.createDataFrame(
+                [("img0", band.tobytes(), 8, 6, "raw8", "cap", phash)],
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+            enc = spark.createDataFrame(
+                [
+                    (
+                        "img0",
+                        (band ^ 0xFF).tobytes(),
+                        8,
+                        6,
+                        "toy_xor",
+                        "cap",
+                        phash,
+                    )
+                ],
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+            t_raw = sorted(
+                map(tuple, tile_images(raw, res=11).collect())
+            )
+            t_enc = sorted(
+                map(tuple, tile_images(enc, res=11).collect())
+            )
+            assert t_raw == t_enc and t_raw
+        finally:
+            unregister_codec("toy_xor")
