@@ -70,7 +70,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     for name in names:
-        df = qs[name](spark, SF_DIR)
+        # folded queries (round-4: h3_containment_modes rides inside
+        # h3_disk_size) keep their _q_* function for regeneration even
+        # though they no longer have their own queries() key
+        fn = qs.get(name) or getattr(E, "_q_" + name)
+        df = fn(spark, SF_DIR)
         tbl = df.toArrow()
         path = os.path.join(OUT_DIR, f"{name}.parquet")
         pq.write_table(tbl, path, compression="zstd")
