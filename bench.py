@@ -527,11 +527,21 @@ def main() -> None:
             "h3_parent_rollup",
             "h3_pip_join",
             "h3_tiling",
+            # round-4 (VERDICT r03 item 9): the dedup/ANN signature
+            # kernels in the per-round capture so regressions are visible
+            "dedup_minhash_lsh",
+            "similarity_lsh_ann",
         ]
-        # up to 3 calibrated passes: every query keeps its best rep; stop
-        # early once a pass ran in a quiet window (flanking ratios >= 0.9)
+        # up to 3 calibrated passes; stop early once a pass ran in a
+        # quiet window (flanking ratios >= 0.85, calm pressure).  Times
+        # are tracked PER PASS (round-4, ADVICE r03): each query's
+        # reported number is its best time from a QUIET pass when one
+        # exists (falling back to the raw min with quiet=False),
+        # mirroring pick_time — so headline_quiet_window=True guarantees
+        # every per-query time came from a certified-quiet pass.
         hl_ratios = []
         hl_press = []
+        hl_times: dict = {name: [] for name in headline}
         t_section = time.time()
         for pass_i in range(3):
             r_before = window_ratio()
@@ -541,9 +551,7 @@ def main() -> None:
                 t0 = time.time()
                 df = qs[name](spark, SF_DIR)
                 n = df.count()
-                dt = round(time.time() - t0, 2)
-                if name not in results or dt < results[name]:
-                    results[name] = dt
+                hl_times[name].append(round(time.time() - t0, 2))
                 extra[f"{name}_rows"] = n
             snap1 = _machine_snapshot()
             r_after = window_ratio()
@@ -560,11 +568,18 @@ def main() -> None:
             # sections all run an untimed warm-up rep for the same reason
             if (pass_i >= 1 and pass_quiet) or time.time() - t_section > REP_BUDGET:
                 break
+        quiet_passes = [
+            i
+            for i, (r, p) in enumerate(zip(hl_ratios, hl_press))
+            if r >= 0.85 and _is_calm(p)
+        ]
+        for name, times in hl_times.items():
+            pool = [times[i] for i in quiet_passes if i < len(times)]
+            results[name] = min(pool) if pool else min(times)
         extra["headline_calib_ratios"] = hl_ratios
         extra["headline_rep_pressure"] = hl_press
-        extra["headline_quiet_window"] = any(
-            r >= 0.85 and _is_calm(p) for r, p in zip(hl_ratios, hl_press)
-        )
+        extra["headline_times_per_pass"] = hl_times
+        extra["headline_quiet_window"] = bool(quiet_passes)
 
     total = round(sum(results.values()), 2)
     print(

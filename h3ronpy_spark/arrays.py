@@ -120,3 +120,20 @@ def cells_area_km2(cells) -> np.ndarray:
 
 def cells_area_m2(cells) -> np.ndarray:
     return _area_m2(np.asarray(cells, dtype=np.int64))
+
+
+def wkb_to_geoarrow(wkb: list, name: str = "geometry"):
+    """Wrap eager WKB output (cells_to_wkb_polygons / _points) as a
+    (pyarrow.Field, pyarrow.Array) pair carrying the geoarrow.wkb
+    extension tag the reference attaches to its WKB arrays
+    (h3ronpy/src/vector.rs:282-283)."""
+    import pyarrow as pa
+
+    arr = pa.array(wkb, type=pa.binary())
+    field = pa.field(
+        name,
+        pa.binary(),
+        nullable=True,
+        metadata={b"ARROW:extension:name": b"geoarrow.wkb"},
+    )
+    return field, arr

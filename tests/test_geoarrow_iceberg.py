@@ -1,0 +1,170 @@
+"""Round-4 additions: geoarrow extension metadata on WKB outputs
+(VERDICT r03 item 3/6) and the Iceberg format-switch plumbing
+(VERDICT r03 item 7 — the branch can't run against real jars in this
+sandbox, so the reader/writer composition is exercised with stubs)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from h3ronpy_spark.session import get_spark
+
+    s = get_spark(
+        "local[2]", app_name="h3spark_geoarrow_tests", shuffle_partitions=2
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+class TestGeoArrow:
+    def test_wkb_polygons_field_metadata(self, spark):
+        """cells_to_wkb_polygons -> Spark column metadata carries the
+        geoarrow.wkb tag, and to_geoarrow_table() surfaces it as REAL
+        Arrow field metadata (where geoarrow readers look)."""
+        import h3ronpy_spark.functions as H
+
+        df = spark.createDataFrame([(45.5, 10.2)], "lat double, lng double")
+        cells = df.select(
+            H.coordinates_to_cells("lat", "lng", F.lit(5)).alias("cell")
+        )
+        geo = cells.select(
+            "cell",
+            H.as_geoarrow_wkb(
+                H.cells_to_wkb_polygons(F.col("cell")), "geometry"
+            ),
+        )
+        # Spark schema metadata
+        fld = [f for f in geo.schema.fields if f.name == "geometry"][0]
+        assert fld.metadata[H.GEOARROW_EXTENSION_KEY] == H.GEOARROW_WKB
+        # Arrow schema metadata after the boundary conversion
+        tbl = H.to_geoarrow_table(geo)
+        md = tbl.schema.field("geometry").metadata
+        assert md[b"ARROW:extension:name"] == b"geoarrow.wkb"
+        # and the payload is still valid WKB (polygon = type 3, LE)
+        blob = tbl.column("geometry")[0].as_py()
+        assert blob[0] == 1 and int.from_bytes(blob[1:5], "little") == 3
+        # non-geometry fields untagged
+        assert tbl.schema.field("cell").metadata in (None, {})
+
+    def test_cells_dataframe_to_wkb_tagged(self, spark):
+        import h3ronpy_spark.functions as H
+
+        df = spark.createDataFrame([(45.5, 10.2)], "lat double, lng double")
+        cells = df.select(
+            H.coordinates_to_cells("lat", "lng", F.lit(5)).alias("cell")
+        )
+        out = H.cells_dataframe_to_wkb(cells)
+        fld = [f for f in out.schema.fields if f.name == "geometry"][0]
+        assert fld.metadata[H.GEOARROW_EXTENSION_KEY] == H.GEOARROW_WKB
+        assert out.first()["geometry"] is not None
+
+    def test_eager_wkb_to_geoarrow(self):
+        """The eager array API wraps WKB as (field, array) with the
+        extension tag — mirroring the reference's WKBArray extension
+        field (h3ronpy/src/vector.rs:282-283)."""
+        import numpy as np
+
+        from h3ronpy_spark import arrays as A
+
+        cell = A.coordinates_to_cells(
+            np.array([45.5]), np.array([10.2]), 5
+        )
+        field, arr = A.wkb_to_geoarrow(A.cells_to_wkb_points(cell))
+        assert field.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
+        assert len(arr) == 1 and arr[0].as_py()[0] == 1
+
+
+class _FakeReader:
+    def __init__(self, log):
+        self.log = log
+
+    def format(self, fmt):
+        self.log["format"] = fmt
+        return self
+
+    def option(self, k, v):
+        self.log.setdefault("options", {})[k] = v
+        return self
+
+    def load(self, path):
+        self.log["load"] = path
+        return "DF"
+
+
+class _FakeSpark:
+    def __init__(self, log):
+        self.read = _FakeReader(log)
+
+
+class TestIcebergPlumbing:
+    def test_read_iceberg_branch_snapshot_pushdown(self, monkeypatch):
+        """With the connector 'present', read_table must route through
+        format('iceberg') and push snapshot-id as a reader option."""
+        from h3ronpy_spark.sources import tables as TT
+
+        monkeypatch.setattr(TT, "iceberg_available", lambda s: True)
+        log = {}
+        out = TT.read_table(_FakeSpark(log), "db.images", snapshot_id=991)
+        assert out == "DF"
+        assert log["format"] == "iceberg"
+        assert log["options"] == {"snapshot-id": "991"}
+        assert log["load"] == "db.images"
+
+    def test_read_iceberg_branch_no_snapshot(self, monkeypatch):
+        from h3ronpy_spark.sources import tables as TT
+
+        monkeypatch.setattr(TT, "iceberg_available", lambda s: True)
+        log = {}
+        TT.read_table(_FakeSpark(log), "db.images")
+        assert log["format"] == "iceberg" and "options" not in log
+
+    def test_read_parquet_fallback(self, spark, tmp_path):
+        """Without the connector the same call reads parquet with
+        identical downstream semantics."""
+        from h3ronpy_spark.sources.tables import iceberg_available, read_table
+
+        assert not iceberg_available(spark)  # sandbox ships no jars
+        p = str(tmp_path / "t.parquet")
+        spark.range(5).write.parquet(p)
+        assert read_table(spark, p).count() == 5
+
+    def test_write_iceberg_branch(self, monkeypatch):
+        """writeTo / partitionedBy / append-vs-createOrReplace routing."""
+        from h3ronpy_spark.sources import tables as TT
+
+        monkeypatch.setattr(TT, "iceberg_available", lambda s: True)
+
+        calls = {}
+
+        class _FakeWriter:
+            def partitionedBy(self, *cols):
+                calls["partitionedBy"] = len(cols)
+                return self
+
+            def append(self):
+                calls["append"] = True
+
+            def createOrReplace(self):
+                calls["createOrReplace"] = True
+
+        class _FakeDF:
+            sparkSession = None
+
+            def writeTo(self, name):
+                calls["writeTo"] = name
+                return _FakeWriter()
+
+        TT.write_table(_FakeDF(), "db.out", mode="append")
+        assert calls == {"writeTo": "db.out", "append": True}
+        calls.clear()
+        TT.write_table(
+            _FakeDF(), "db.out", mode="overwrite", partition_by=["cell"]
+        )
+        assert calls["createOrReplace"] and calls["partitionedBy"] == 1

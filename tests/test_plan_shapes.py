@@ -162,3 +162,50 @@ class TestLiftedCoverage:
             ).distinct().collect()
         )
         assert rs and rs[0] >= 5 and rs[-1] <= 7
+
+
+class TestIvfTrainingPlan:
+    def test_sample_plan_no_global_sort(self, spark):
+        """train_ivf_centroids' sample scan (round-4): when the table is
+        large relative to sample_cap, the plan must show (a) the
+        pmod(xxhash64) prefilter and (b) TakeOrderedAndProject —
+        per-partition top-K heads — with NO global Sort+Exchange."""
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        n = emb.count()
+        # reproduce the exact sampling plan train_ivf_centroids builds,
+        # with a cap small enough that the prefilter engages (m > 1)
+        cap = max(4, n // 10)
+        m = max(1, n // (2 * cap))
+        assert m > 1
+        nn = emb.filter(F.col("embedding").isNotNull()).filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0
+        )
+        plan = nn.orderBy("vec_id").limit(cap)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Sort [" not in plan.replace(
+            "TakeOrderedAndProject", ""
+        ), plan
+        assert "xxhash64" in plan and "pmod" in plan, plan
+
+    def test_prefilter_engages_and_trains(self, spark):
+        """End-to-end: a tiny sample_cap forces m > 1 and training still
+        produces a codebook deterministically."""
+        import numpy as np
+
+        from h3ronpy_spark.operators.similarity import train_ivf_centroids
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        c1 = train_ivf_centroids(emb, n_clusters=4, sample_cap=40)
+        c2 = train_ivf_centroids(emb, n_clusters=4, sample_cap=40)
+        assert np.array_equal(c1, c2)
+        # expected_rows shortcut produces the same sample -> same codebook
+        n = emb.count()
+        c3 = train_ivf_centroids(
+            emb, n_clusters=4, sample_cap=40, expected_rows=n
+        )
+        assert np.array_equal(c1, c3)
