@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -70,18 +70,26 @@ def _subsplit_hot_buckets(
 ) -> DataFrame:
     """Append a `__sub` column refining (key_cols) so no (key_cols,
     __sub) group exceeds ~max_bucket rows in expectation; `__sub` is 0
-    everywhere when no bucket is hot (or max_bucket is None)."""
+    everywhere when no bucket is hot (or max_bucket is None).
+
+    Bucket sizes come from a window count, NOT a groupBy+join: the join
+    formulation duplicates the whole upstream subtree (including the
+    signature UDF — the dominant cost) into the sizes branch, measured
+    8.2 s vs 5.9 s for the window at sf0.1, and it costs a second full
+    shuffle of the (8x-exploded) bands.  WindowExec's per-group buffering
+    spills to disk, so a degenerate multi-million-row bucket is slow but
+    bounded-memory."""
     if max_bucket is None:
         return rows.withColumn("__sub", F.lit(0).cast("long"))
-    sizes = rows.groupBy(*key_cols).agg(F.count("*").alias("__bsz"))
+    w = Window.partitionBy(*key_cols)
     n_sub = F.greatest(
         F.lit(1).cast("long"),
-        F.ceil(F.col("__bsz") / F.lit(float(max_bucket))).cast("long"),
+        F.ceil(F.count("*").over(w) / F.lit(float(max_bucket))).cast(
+            "long"
+        ),
     )
-    return (
-        rows.join(sizes, key_cols)
-        .withColumn("__sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub))
-        .drop("__bsz")
+    return rows.withColumn(
+        "__sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub)
     )
 
 

@@ -140,11 +140,16 @@ def lsh_topk(
         F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
     )
     if max_bucket is not None:
+        # the key space is tiny by construction (n_bands * 2^planes_per
+        # _band rows max), so the size table is always broadcastable: the
+        # big emb side is filtered WITHOUT being shuffled (the sizes
+        # branch re-runs the band UDF once — that pass is map-side
+        # partial-aggregated into <= 1536 rows)
         sizes = emb_b.groupBy("band", "key").agg(
             F.count("*").alias("__bsz")
         )
         emb_b = (
-            emb_b.join(sizes, ["band", "key"])
+            emb_b.join(F.broadcast(sizes), ["band", "key"])
             .filter(F.col("__bsz") <= max_bucket)
             .drop("__bsz")
         )
