@@ -230,6 +230,10 @@ def minhash_lsh_pairs(
     bands = _subsplit_hot_buckets(
         bands, ["band", "bucket"], max_bucket=max_bucket
     )
+    # pre-partition on the join key so BOTH self-join sides hang off ONE
+    # exchange (ReusedExchange): one signature pass + one shuffle write
+    # instead of two of each (measured 5.3 s vs 7.6 s at sf0.1)
+    bands = bands.repartition("band", "bucket", "__sub")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -464,6 +468,8 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("id", "sim", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
     bands = _subsplit_hot_buckets(bands, ["band", "key"], max_bucket=max_bucket)
+    # one exchange for both self-join sides (see minhash_lsh_pairs)
+    bands = bands.repartition("band", "key", "__sub")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -532,6 +538,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("g"),
     ).distinct()
+    # one exchange for both self-join sides (see minhash_lsh_pairs)
+    grams = grams.repartition("bucket", "__sub", "g")
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
