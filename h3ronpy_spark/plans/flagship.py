@@ -38,7 +38,18 @@ def flagship(
     the same polygon set) to amortize the polygon index across batches —
     the production pattern for a continuous 10^12-image scan."""
     images = synth_images(spark, n_images, seed=seed, partitions=partitions)
-    tiles = tile_images(images, res=res, nodata=0)
+    # Captions are dropped BEFORE tiling (round-4): a caption is constant
+    # per image, but tile_images explodes ~120 tiles/image, so carrying
+    # the string through the tile stage Arrow-serializes ~120 duplicated
+    # copies per image — measured 14.8 s vs 4.3 s for the tile scan alone
+    # at 60k images.  Spark prunes the column out of the mapInPandas
+    # exchange on .drop(); captions re-enter at PER-IMAGE granularity via
+    # a broadcast join of the column-pruned captions projection (60k rows
+    # — at 10^12 images this side is a two-column Iceberg scan, still
+    # per-image, and the join key is the already-reduced rollup).
+    from ..sources.images import synth_captions
+
+    tiles = tile_images(images, res=res, nodata=0).drop("caption")
     polys = synth_polygons(spark, n_polygons, seed=seed)
     joined = pip_join(tiles, polys, res=res, salt=salt, coverage=coverage)
     # Two countDistinct in one agg would plan an Expand (x2 row blowup over
@@ -50,10 +61,17 @@ def flagship(
     per_img = joined.groupBy("poly_id", "image_id").agg(
         F.count("*").alias("n_tiles"),
         F.sum("px_value").alias("sum_px"),
-        F.first("caption").alias("caption"),
     )
+    caps = synth_captions(spark, n_images, seed=seed, partitions=partitions)
+    # broadcast only while the caption side is genuinely small: the hash
+    # relation is built single-threaded on the driver (the round-3 Amdahl
+    # lesson, spatial_join.py lift_coverage rule) — past ~200k rows let
+    # AQE pick the strategy for the shuffle join on image_id
+    if n_images <= 200_000:
+        caps = F.broadcast(caps)
+    per_img_c = per_img.join(caps, "image_id")
     return (
-        per_img.groupBy("poly_id")
+        per_img_c.groupBy("poly_id")
         .agg(
             F.sum("n_tiles").alias("n_tiles"),
             F.count("*").alias("n_images"),

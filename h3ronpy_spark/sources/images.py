@@ -122,6 +122,35 @@ def synth_images(
     return base.mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def synth_captions(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """(image_id, caption) ONLY — the column-pruned projection of the
+    images table (captions are a pure function of id + phash, no pixel
+    generation).  At 10^12-image scale this is the stand-in for a
+    column-pruned Iceberg scan of two string columns; the flagship joins
+    it at per-image granularity instead of hauling a duplicated caption
+    through every exploded tile row (see plans/flagship.py)."""
+    parts = partitions or _default_parts(spark, n)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy(np.int64)
+            ph = phash_of_ids(ids, seed)
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img{int(i):012d}" for i in ids],
+                    "caption": [
+                        f"caption-{int(i):012d}-{int(p) & 0xFFFFFFFF:08x}"
+                        for i, p in zip(ids, ph)
+                    ],
+                }
+            )
+
+    return base.mapInPandas(gen, "image_id string, caption string")
+
+
 # raw (uncompressed, row-major, little-endian) band dtypes — the same
 # value-type breadth the reference converts (h3ronpy/src/raster.rs:210-219:
 # {u,i}{8,16,32,64}, f32, f64)
