@@ -254,6 +254,26 @@ def pick_time(times, ratios, pressures=None, quiet_thresh: float = 0.85):
     return raw_min, round(normalized, 2), False
 
 
+def pick_headline_times(
+    hl_times: dict, ratios, pressures, quiet_thresh: float = 0.85
+):
+    """Per-query headline selection mirroring pick_time (ADVICE r03):
+    each query's reported time is its best time from a QUIET pass when
+    one exists, else the raw min.  Returns ({name: secs}, quiet_flag) —
+    quiet_flag=True guarantees EVERY reported time came from a
+    certified-quiet pass."""
+    quiet_passes = [
+        i
+        for i, (r, p) in enumerate(zip(ratios, pressures))
+        if r >= quiet_thresh and _is_calm(p)
+    ]
+    picked = {}
+    for name, times in hl_times.items():
+        pool = [times[i] for i in quiet_passes if i < len(times)]
+        picked[name] = min(pool) if pool else min(times)
+    return picked, bool(quiet_passes)
+
+
 def _run_sections_in_subprocesses() -> None:
     """One OS process (= one fresh JVM + python worker pool) per section.
 
@@ -568,18 +588,12 @@ def main() -> None:
             # sections all run an untimed warm-up rep for the same reason
             if (pass_i >= 1 and pass_quiet) or time.time() - t_section > REP_BUDGET:
                 break
-        quiet_passes = [
-            i
-            for i, (r, p) in enumerate(zip(hl_ratios, hl_press))
-            if r >= 0.85 and _is_calm(p)
-        ]
-        for name, times in hl_times.items():
-            pool = [times[i] for i in quiet_passes if i < len(times)]
-            results[name] = min(pool) if pool else min(times)
+        picked, hl_quiet = pick_headline_times(hl_times, hl_ratios, hl_press)
+        results.update(picked)
         extra["headline_calib_ratios"] = hl_ratios
         extra["headline_rep_pressure"] = hl_press
         extra["headline_times_per_pass"] = hl_times
-        extra["headline_quiet_window"] = bool(quiet_passes)
+        extra["headline_quiet_window"] = hl_quiet
 
     total = round(sum(results.values()), 2)
     print(

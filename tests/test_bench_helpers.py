@@ -70,3 +70,38 @@ def test_pick_time_raw_min_when_no_quiet():
     b = _load_bench()
     headline, norm, quiet = b.pick_time([5.0, 3.0], [0.5, 0.5], None)
     assert not quiet and headline == 3.0
+
+
+def test_pick_headline_times_prefers_quiet_pass():
+    import bench
+
+    hl = {"q1": [0.5, 1.0], "q2": [2.0, 3.0]}
+    ratios = [0.5, 0.95]  # pass 0 noisy, pass 1 quiet
+    press = [
+        {"steal": 0.2, "extern": 0.0, "ours": 0.8},
+        {"steal": 0.0, "extern": 0.0, "ours": 0.9},
+    ]
+    picked, quiet = bench.pick_headline_times(hl, ratios, press)
+    # q1's raw min (0.5) came from the noisy pass and must NOT be used
+    assert picked == {"q1": 1.0, "q2": 3.0} and quiet
+
+
+def test_pick_headline_times_raw_min_when_no_quiet():
+    import bench
+
+    hl = {"q1": [0.5, 1.0]}
+    ratios = [0.5, 0.6]
+    press = [{"steal": 0.2, "extern": 0.0, "ours": 0.8}] * 2
+    picked, quiet = bench.pick_headline_times(hl, ratios, press)
+    assert picked == {"q1": 0.5} and not quiet
+
+
+def test_pick_headline_times_short_pass_lists():
+    import bench
+
+    # a query added mid-run (shorter list) must not index out of range
+    hl = {"q1": [0.5], "q2": [2.0, 1.5]}
+    ratios = [0.9, 0.95]
+    press = [{"steal": 0.0, "extern": 0.0, "ours": 0.9}] * 2
+    picked, quiet = bench.pick_headline_times(hl, ratios, press)
+    assert picked == {"q1": 0.5, "q2": 1.5} and quiet
