@@ -8,6 +8,8 @@ where SQL-expressible):
                    candidate pairs -> exact Jaccard verify
   * simhash      — 64-bit simhash over tokens; near-dups = small Hamming
   * embedding    — cosine near-dup pairs via LSH bucketing + verify
+  * components   — pair list -> connected components (hash-min label
+                   propagation): one canonical keeper per dup cluster
 
 Scale notes: every family is shuffle-on-key (hash/bucket/band), no
 cross joins; candidate verification only touches same-bucket pairs, which
@@ -565,3 +567,83 @@ def ngram_jaccard_pairs(
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (round-4): pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: returns
+    (id, component) where `component` is the MINIMUM id reachable from
+    `id` — the canonical "keeper" of each duplicate cluster (the same
+    keeper rule as dedup_exact).  Compose: minhash_lsh_pairs /
+    simhash_pairs / ngram_jaccard_pairs -> dedup_components ->
+    anti-join keepers to drop all but one doc per cluster.
+
+    Algorithm: hash-min label propagation — each iteration joins every
+    node's current label against the (symmetrized) edge list and keeps
+    the minimum neighbor label (two shuffles per iteration, both
+    equi-joins on id; no driver-side graph).  Iterations are bounded by
+    the graph diameter, which for near-dup clusters is tiny (duplicate
+    clusters are near-cliques: LSH emits most intra-cluster pairs, so
+    diameter is 1-3 hops); convergence is detected with a count of
+    changed labels and the loop stops early.  At 100 TB scale this is
+    the standard alternating-iteration shape (each step is a plain
+    shuffle-on-key join AQE can size); `max_iters` is a hard safety
+    bound, and each iteration's frame is localCheckpointed to keep the
+    lineage from growing multiplicatively across iterations."""
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col(b_col).cast("long").alias("src"),
+                F.col(a_col).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # min label among each node's neighbors (incl. itself)
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_min", "component")
+                    < F.col("component")
+                ).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels

@@ -313,3 +313,85 @@ class TestCodecRegistry:
             assert t_raw == t_enc and t_raw
         finally:
             unregister_codec("toy_xor")
+
+
+class TestDedupComponents:
+    def _truth(self, edges, nodes):
+        # union-find ground truth (driver-side)
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # resolve to min-id representative
+        return {n: find(n) for n in nodes}
+
+    def test_components_match_union_find(self, spark):
+        from h3ronpy_spark.operators.dedup import dedup_components
+
+        rng = np.random.default_rng(5)
+        nodes = list(range(400))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 400, size=(300, 2))
+            if a != b
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup_components(pairs).collect()
+        }
+        touched = sorted({x for e in edges for x in e})
+        want = self._truth(edges, touched)
+        want = {n: want[n] for n in touched}
+        assert got == want
+
+    def test_components_long_chain_converges(self, spark):
+        """A path graph is the worst case for label propagation (diameter
+        = length); hash-min still converges within max_iters because the
+        min label moves at least one hop per iteration — and the min
+        label also jumps: every node adjacent to the current min snaps
+        immediately, halving long chains quickly in practice."""
+        from h3ronpy_spark.operators.dedup import dedup_components
+
+        chain = [(i, i + 1) for i in range(30)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        got = dedup_components(pairs, max_iters=40).collect()
+        assert all(r["component"] == 0 for r in got)
+        assert len(got) == 31
+
+    def test_components_compose_with_minhash(self, spark):
+        """End-to-end: seeded duplicate clusters -> minhash pairs ->
+        components -> one keeper per cluster."""
+        from h3ronpy_spark.operators.dedup import (
+            dedup_components,
+            minhash_lsh_pairs,
+        )
+
+        bases = [
+            "the quick brown fox jumps over the lazy dog near the river",
+            "pack my box with five dozen liquor jugs before sunrise today",
+            "sphinx of black quartz judge my vow under the ancient arch",
+            "how vexingly quick daft zebras jump across frozen meadows",
+            "crazy fredrick bought many very exquisite opal jewels downtown",
+        ]
+        texts = []
+        for c, base in enumerate(bases):
+            for k in range(4):
+                texts.append((c * 100 + k, (base + " ") * 4))
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(docs, threshold=0.9)
+        comp = dedup_components(pairs)
+        rows = comp.collect()
+        # every cluster resolves to its min id; 5 distinct components
+        comps = {r["component"] for r in rows}
+        assert comps == {0, 100, 200, 300, 400}
+        for r in rows:
+            assert r["component"] == (r["id"] // 100) * 100
