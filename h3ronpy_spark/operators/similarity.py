@@ -460,12 +460,20 @@ def ivf_recall(
                 ivf_assign_udf(centroids, nprobe=nprobe)(F.col(qvec_col))
             ).alias("cluster"),
         )
+        # mean scan fraction via EXACT integer aggregation: avg() over
+        # per-query doubles is FP-summation-order-dependent (a local[3]/
+        # shuffle=5 layout flipped the 4th decimal in round-4 testing);
+        # sum(scanned) is a long, so one division at the end is
+        # layout-invariant
         scan = (
             probes.join(F.broadcast(sizes), "cluster")
             .groupBy(qid_col)
             .agg(F.sum("count").alias("scanned"))
             .agg(
-                F.avg(F.col("scanned") / F.lit(float(n_total))).alias("sf")
+                (
+                    F.sum("scanned")
+                    / (F.count("*") * F.lit(float(n_total)))
+                ).alias("sf")
             )
         )
         row = (

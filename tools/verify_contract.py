@@ -40,7 +40,14 @@ def main(only: list[str] | None = None) -> int:
     import __spark_entry__ as E
     from h3ronpy_spark.session import get_spark
 
-    spark = get_spark("local[8]")
+    # VC_MASTER / VC_SHUFFLE let the gate run under different
+    # parallelism / partition counts — re-running under several configs
+    # demonstrates every contract query is partition-invariant (the
+    # engine's determinism contract), not just correct under one layout
+    spark = get_spark(
+        os.environ.get("VC_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("VC_SHUFFLE", "8")),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
