@@ -54,25 +54,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Money aggregation discipline (round-4): every price column in the
+# testdata is an exact 2-decimal value (verified: max |x*100 -
+# round(x*100)| < 4e-9 across all tables), so sums are computed over
+# EXACT scaled integers (cents; basis-point products for discount/tax
+# terms) and divided ONCE at the end.  Float sums are summation-order
+# dependent — a cross-layout sweep (local[1]/1 vs local[8]/8) caught
+# round(avg(p_retailprice), 4) flipping its last decimal because the true
+# mean sat on a round-half boundary.  Integer sums are layout-invariant,
+# and both the Spark side and the DuckDB oracle perform the identical
+# integer arithmetic and single IEEE division, so the compared doubles
+# are bit-equal with NO final rounding step (a final round on an
+# exact-tie value would instead EXPOSE Spark-vs-DuckDB tie-mode
+# differences: exact arithmetic makes .xx50 ties common).
+
+
+def _cents(col):
+    return F.round(F.col(col) * 100).cast("long")
+
+
 def _q1_pricing(spark, sf):
     li = _t(spark, sf, "lineitem")
+    pc, dp, tp = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            pc.alias("pc"),
+            (pc * (100 - dp)).alias("dpc"),
+            (pc * (100 - dp) * (100 + tp)).alias("chc"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued: their double sum is exact
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            (F.sum("pc") / 100.0).alias("sum_base_price"),
+            (F.sum("dpc") / 10000.0).alias("sum_disc_price"),
+            (F.sum("chc") / 1000000.0).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -86,12 +106,15 @@ def _q3_top_orders(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .filter(c.c_mktsegment == "BUILDING")
-        .groupBy("l_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .select(
+            "l_orderkey",
+            (
+                _cents("l_extendedprice")
+                * (100 - _cents("l_discount"))
+            ).alias("dpc"),
         )
+        .groupBy("l_orderkey")
+        .agg((F.sum("dpc") / 10000.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -108,11 +131,17 @@ def _q5_region_revenue(spark, sf):
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            (
+                _cents("l_extendedprice")
+                * (100 - _cents("l_discount"))
+            ).alias("dpc"),
+        )
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.sum("dpc") / 10000.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -126,7 +155,7 @@ def _q_top_customers_window(spark, sf):
     rev = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg((F.sum(_cents("o_totalprice")) / 100.0).alias("total"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.desc("total"), F.asc("c_custkey")
@@ -142,7 +171,9 @@ def _q_part_brand_stats(spark, sf):
     p = _t(spark, sf, "part")
     return p.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        (F.sum(_cents("p_retailprice")) / (F.count("*") * 100.0)).alias(
+            "avg_price"
+        ),
         F.max("p_size").alias("max_size"),
         F.countDistinct("p_type").alias("n_types"),
     )
@@ -154,7 +185,7 @@ def _q_orders_monthly(spark, sf):
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("total"),
         )
     )
 
@@ -163,7 +194,7 @@ def _q_events_by_type(spark, sf):
     e = _t(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.sum(_cents("value")) / 100.0).alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -183,7 +214,8 @@ def _q_events_json(spark, sf):
         e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # exact long sum / count: layout-invariant (see _cents note)
+            (F.sum("k") / F.count("k")).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
     )
@@ -261,7 +293,12 @@ def _q_quality(spark, sf):
         .withColumn("lid", lang_id(F.col("text")))
         .groupBy("source", "lid")
         .agg(
-            F.round(F.sum("pr"), 4).alias("sum_punct_ratio"),
+            # pr is 6-decimal by construction -> exact scaled-long sum
+            # (layout-invariant; see _cents note)
+            (
+                F.sum(F.round(F.col("pr") * 1000000).cast("long"))
+                / 1000000.0
+            ).alias("sum_punct_ratio"),
             F.count("*").alias("n_docs"),
         )
     )
@@ -395,7 +432,12 @@ def _q_embedding_norms(spark, sf):
         )
         .groupBy("label")
         .agg(
-            F.round(F.sum("norm"), 2).alias("sum_norm"),
+            # norm is 4-decimal after the round -> exact scaled-long sum
+            # (layout-invariant; see _cents note)
+            (
+                F.sum(F.round(F.col("norm") * 10000).cast("long"))
+                / 10000.0
+            ).alias("sum_norm"),
             F.count("*").alias("n_vecs"),
         )
     )
@@ -698,7 +740,9 @@ def _q_supplier_part_join(spark, sf):
         .groupBy("s_name")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias(
+                "total_price"
+            ),
         )
     )
 
@@ -1289,20 +1333,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # prices are exact 2-decimal values: both engines sum EXACT
+        # scaled integers and divide once, so the compared doubles are
+        # bit-equal under any partitioning (see the _cents note above)
         "q1_pricing_summary": """
+            WITH t AS (
+                SELECT l_returnflag, l_linestatus, l_quantity,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                       CAST(round(l_discount * 100) AS BIGINT) AS dp,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tp
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            )
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   sum(pc) / 100.0 AS sum_base_price,
+                   sum(pc * (100 - dp)) / 10000.0 AS sum_disc_price,
+                   sum(pc * (100 - dp) * (100 + tp)) / 1000000.0 AS sum_charge,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
+            FROM t GROUP BY l_returnflag, l_linestatus
         """,
         "q3_top_orders": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1313,7 +1368,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   / 10000.0 AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1325,7 +1382,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_window": """
             WITH rev AS (
                 SELECT c_nationkey, c_custkey,
-                       round(sum(o_totalprice), 2) AS total
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       / 100.0 AS total
                 FROM orders JOIN customer ON o_custkey = c_custkey
                 GROUP BY c_nationkey, c_custkey
             )
@@ -1339,7 +1397,8 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": """
             SELECT p_brand,
                    count(*) AS n_parts,
-                   round(avg(p_retailprice), 4) AS avg_price,
+                   sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                       / (count(*) * 100.0) AS avg_price,
                    max(p_size) AS max_size,
                    count(DISTINCT p_type) AS n_types
             FROM part GROUP BY p_brand
@@ -1347,19 +1406,24 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly": """
             SELECT strftime(o_orderdate, '%Y-%m') AS month,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS total
             FROM orders GROUP BY 1
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,
-                   round(sum(value), 2) AS sum_value,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
         "events_json": """
             SELECT r.*, p.stream_n_users, p.stream_n_match FROM (
                 SELECT event_type,
-                       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+                       sum(CAST(json_extract_string(props, '$.k') AS INT))
+                       * 1.0 /
+                       count(CAST(json_extract_string(props, '$.k') AS INT))
+                           AS avg_k,
                        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
                 FROM events GROUP BY event_type
             ) r CROSS JOIN (
@@ -1439,7 +1503,9 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'und' END AS lid
                 FROM t
             )
-            SELECT source, lid, round(sum(pr), 4) AS sum_punct_ratio,
+            SELECT source, lid,
+                   sum(CAST(round(pr * 1000000) AS BIGINT)) / 1000000.0
+                       AS sum_punct_ratio,
                    count(*) AS n_docs
             FROM l GROUP BY source, lid
         """,
@@ -1508,7 +1574,9 @@ def oracle_sql() -> dict[str, str]:
                                                    CAST(embedding AS DOUBLE[]))), 4) AS norm
                 FROM embeddings
             )
-            SELECT label, round(sum(norm), 2) AS sum_norm,
+            SELECT label,
+                   sum(CAST(round(norm * 10000) AS BIGINT)) / 10000.0
+                       AS sum_norm,
                    count(*) AS n_vecs
             FROM t GROUP BY label
         """,
@@ -1539,7 +1607,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_part_join": """
             SELECT s_name, count(*) AS n_items,
-                   round(sum(l_extendedprice), 2) AS total_price
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / 100.0 AS total_price
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
         """,
