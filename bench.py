@@ -129,11 +129,47 @@ def calib_par_ratio(nthreads: int | None = None) -> float:
     return round(_CALIB_PAR_REF_SECS / best, 3)
 
 
+_MEMBW_ARR = None
+
+
+def _membw_once() -> float:
+    """One streaming pass over a 256 MB array — pure DRAM bandwidth.
+    Round-4 finding: a co-tenant's memory traffic can inflate EVERY
+    bench query 15-25% while steal reads 0.0, /proc/stat is calm, and
+    the cache-resident CPU probes read quiet — only a probe that
+    actually streams memory sees it."""
+    global _MEMBW_ARR
+    import numpy as np
+
+    if _MEMBW_ARR is None:
+        _MEMBW_ARR = np.ones(32_000_000, dtype=np.float64)  # 256 MB
+    t0 = time.perf_counter()
+    float(_MEMBW_ARR.sum())
+    return time.perf_counter() - t0
+
+
+# quiet floor of _membw_once() (seconds); re-derive via --calibrate.
+# Pinned from 6 bursts of 30 reps over a minute (0.0323-0.0337, ~7.9
+# GB/s single-thread streaming sum) in a window whose CPU probes read
+# quiet; if quiet flags ever contradict a uniformly-inflated cross-query
+# profile again, re-derive this first.
+_MEMBW_REF_SECS = 0.0323
+
+
+def membw_ratio() -> float:
+    """Observed DRAM-streaming throughput as a fraction of the quiet
+    floor (1.0 = quiet)."""
+    _membw_once()  # touch/fault the array outside the timed runs
+    best = min(_membw_once() for _ in range(3))
+    return round(_MEMBW_REF_SECS / best, 3)
+
+
 def window_ratio() -> float:
-    """min(single-core, 8-thread-parallel) calibration — a window is only
-    quiet if BOTH read quiet (round-3: parallel capacity degrades
-    independently of per-core speed on this box)."""
-    return min(calib_ratio(), calib_par_ratio())
+    """min(single-core, 8-thread-parallel, DRAM-streaming) calibration —
+    a window is only quiet if ALL read quiet (round-3: parallel capacity
+    degrades independently of per-core speed; round-4: DRAM bandwidth
+    degrades independently of both)."""
+    return min(calib_ratio(), calib_par_ratio(), membw_ratio())
 
 
 # --------------------------------------------------------------------------
@@ -341,10 +377,13 @@ def main() -> None:
             for t in ts:
                 t.join()
             par_best = min(par_best, time.perf_counter() - t0)
+        mem_best = min(_membw_once() for _ in range(100))
         print(json.dumps({"calib_floor_secs": round(best, 4),
                           "pinned": _CALIB_REF_SECS,
                           "calib_par_floor_secs": round(par_best, 4),
-                          "pinned_par": _CALIB_PAR_REF_SECS}))
+                          "pinned_par": _CALIB_PAR_REF_SECS,
+                          "membw_floor_secs": round(mem_best, 5),
+                          "pinned_membw": _MEMBW_REF_SECS}))
         return
     if len(SECTIONS) > 1:
         _run_sections_in_subprocesses()
