@@ -285,20 +285,35 @@ def _q_quality(spark, sf):
     its own tail entry with no driver row — is folded in by grouping the
     punctuation-ratio rollup by (source, lid); both operators are pure
     Column expressions with a full DuckDB oracle)."""
-    from h3ronpy_spark.operators.text import lang_id, punct_ratio
+    from h3ronpy_spark.operators.text import (
+        lang_id,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
 
     d = _t(spark, sf, "documents")
     return (
         d.withColumn("pr", F.round(punct_ratio(F.col("text")), 6))
         .withColumn("lid", lang_id(F.col("text")))
+        .withColumn("q", quality_score(F.col("text")))
+        .withColumn("sw", F.round(stopword_ratio(F.col("text")), 6))
         .groupBy("source", "lid")
         .agg(
-            # pr is 6-decimal by construction -> exact scaled-long sum
-            # (layout-invariant; see _cents note)
+            # all four scores are 6-decimal by construction -> exact
+            # scaled-long sums (layout-invariant; see _cents note)
             (
                 F.sum(F.round(F.col("pr") * 1000000).cast("long"))
                 / 1000000.0
             ).alias("sum_punct_ratio"),
+            (
+                F.sum(F.round(F.col("q") * 1000000).cast("long"))
+                / 1000000.0
+            ).alias("sum_quality"),
+            (
+                F.sum(F.round(F.col("sw") * 1000000).cast("long"))
+                / 1000000.0
+            ).alias("sum_stopword_ratio"),
             F.count("*").alias("n_docs"),
         )
     )
@@ -1476,6 +1491,13 @@ def oracle_sql() -> dict[str, str]:
                        round((length(text) - length(
                            regexp_replace(text, '[.,!?;:()\\[\\]"'']', '', 'g')
                        )) * 1.0 / greatest(length(text), 1), 6) AS pr,
+                       (length(text) - length(
+                           regexp_replace(text, '[.,!?;:()\\[\\]"'']', '', 'g')
+                       )) * 1.0 / greatest(length(text), 1) AS pr_raw,
+                       length(text) AS length_,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS tok,
                   (length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5.0
                 + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5.0
                 + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4.0
@@ -1495,7 +1517,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             l AS (
-                SELECT source, pr, CASE
+                SELECT source, pr,
+                       -- mirror operators/text.py quality_score exactly:
+                       -- (length + punct-sanity + stopword) / 3, 6dp
+                       round((
+                           least(length_ * 1.0 / 500.0, 1.0)
+                         + CASE WHEN pr_raw > 0.2 THEN 0.0
+                                ELSE 1.0 - pr_raw * 5.0 / 2.0 END
+                         + least(s_en / greatest(tok, 1) * 10.0, 1.0)
+                       ) / 3.0, 6) AS q,
+                       round(s_en / greatest(tok, 1), 6) AS sw,
+                       CASE
                     WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
                     WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
                     WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
@@ -1506,6 +1538,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lid,
                    sum(CAST(round(pr * 1000000) AS BIGINT)) / 1000000.0
                        AS sum_punct_ratio,
+                   sum(CAST(round(q * 1000000) AS BIGINT)) / 1000000.0
+                       AS sum_quality,
+                   sum(CAST(round(sw * 1000000) AS BIGINT)) / 1000000.0
+                       AS sum_stopword_ratio,
                    count(*) AS n_docs
             FROM l GROUP BY source, lid
         """,
