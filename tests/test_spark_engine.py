@@ -642,3 +642,83 @@ class TestIVF:
             for r in ivf_topk(emb, q, k=5, n_clusters=4, nprobe=4).collect()
         }
         assert ivf == exact
+
+
+class TestColumnWrapperSmoke:
+    """Round-4: direct exercise of the thin Column wrappers that were
+    previously only covered at the kernel level (wrapper-layer bugs —
+    null handling, dtype coercion — are invisible to kernel tests)."""
+
+    def test_wrappers_match_kernels(self, spark):
+        import numpy as np
+
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core.edges import (
+            cells_to_edges as k_edges,
+            edge_destination,
+            vertex_owner,
+        )
+        from h3ronpy_spark.h3core.latlng import latlng_to_cell
+
+        cell = int(latlng_to_cell(np.radians([45.5]), np.radians([10.2]), 5)[0])
+        pent = 0x851C0003FFFFFFF  # res-5 pentagon-rooted cell (base 14)
+        df = spark.createDataFrame([(cell,)], "cell long")
+        r = df.select(
+            H.cells_base_cell(F.col("cell")).alias("bc"),
+            H.cells_is_pentagon(F.col("cell")).alias("pent"),
+            F.size(H.uncompact_list(F.col("cell"), F.lit(6))).alias("n_kids"),
+            F.size(H.uncompact_list(F.col("cell"), F.lit(4))).alias("n_coarser"),
+        ).first()
+        assert r["bc"] == int(IDX.get_base_cell(np.array([cell]))[0])
+        assert r["pent"] == bool(IDX.is_pentagon(np.array([cell]))[0])
+        assert r["n_kids"] == 7 and r["n_coarser"] == 0
+
+        # edges_destination + vertexes_owner against kernels
+        e = int(k_edges(np.array([cell], dtype=np.int64))[1][0])
+        from h3ronpy_spark.h3core.edges import cells_to_vertexes as k_c2v
+
+        v = int(k_c2v(np.array([cell], dtype=np.int64))[1][0])
+        df2 = spark.createDataFrame([(e, v)], "e long, v long")
+        r2 = df2.select(
+            H.edges_destination(F.col("e")).alias("dst"),
+            H.vertexes_owner(F.col("v")).alias("own"),
+        ).first()
+        assert r2["dst"] == int(edge_destination(np.array([e]))[0])
+        assert r2["own"] == int(vertex_owner(np.array([v]))[0])
+
+        # vertexes_parse: hex roundtrip + failure -> null
+        from h3ronpy_spark.h3core.strings import cells_to_string
+
+        vhex = cells_to_string(np.array([v], dtype=np.int64))[0]
+        df3 = spark.createDataFrame(
+            [(vhex,), ("zznotacell",), (None,)], "s string"
+        )
+        got = [
+            row["p"]
+            for row in df3.select(
+                H.vertexes_parse(F.col("s")).alias("p")
+            ).collect()
+        ]
+        assert got[0] == v and got[1] is None and got[2] is None
+
+        # wkb_to_cells_compact: compacted coverage uncompacts to the
+        # plain coverage
+        poly = df.select(
+            H.cells_to_wkb_polygons(F.col("cell")).alias("wkb")
+        )
+        both = poly.select(
+            F.size(
+                H.wkb_to_cells(F.col("wkb"), F.lit(7), F.lit("containscentroid"))
+            ).alias("n_plain"),
+            H.wkb_to_cells_compact(
+                F.col("wkb"), F.lit(7), F.lit("containscentroid")
+            ).alias("compact"),
+        ).first()
+        import numpy as np_
+
+        from h3ronpy_spark import arrays as A
+
+        kids = A.uncompact(
+            np_.array(both["compact"], dtype=np_.int64), 7
+        )
+        assert len(kids) == both["n_plain"] > 0
