@@ -265,14 +265,19 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_token_count(spark, sf):
-    from h3ronpy_spark.operators.text import token_count
+    """Whitespace token counts AND the BPE-ish regex pre-tokenizer
+    counts (round-4) per language — both pure Column expressions with
+    exact integer aggregation."""
+    from h3ronpy_spark.operators.text import token_count, token_count_bpe
 
     d = _t(spark, sf, "documents")
     return (
         d.withColumn("n_tokens", token_count(F.col("text")))
+        .withColumn("n_bpe", token_count_bpe(F.col("text")))
         .groupBy("lang")
         .agg(
             F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             F.count("*").alias("n_docs"),
             F.max("n_tokens").alias("max_tokens"),
         )
@@ -1478,10 +1483,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang,
                        CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+'))
-                       END AS n_tokens
+                       END AS n_tokens,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+'
+                       )) AS n_bpe
                 FROM documents
             )
             SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
                    count(*) AS n_docs, max(n_tokens) AS max_tokens
             FROM t GROUP BY lang
         """,

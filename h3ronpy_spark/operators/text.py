@@ -35,6 +35,27 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenization pattern, restricted to constructs whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, letter runs, digit runs, other-symbol runs, whitespace runs —
+# each optionally preceded by one space.  Token COUNTS from this pattern
+# approximate BPE token counts well enough for budget accounting, with
+# zero Python in the hot path.
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+)
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches (whitespace
+    is skipped by the scan — both Java regex and RE2 use leftmost-first
+    alternation, so Spark and the DuckDB oracle count identically).
+    Pure Column expression, zero Python."""
+    t = F.coalesce(text, F.lit(""))
+    return F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN)).cast("long")
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are basic punctuation."""
     cleaned = F.regexp_replace(text, r"[.,!?;:()\[\]\"']", "")

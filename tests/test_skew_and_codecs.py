@@ -395,3 +395,26 @@ class TestDedupComponents:
         assert comps == {0, 100, 200, 300, 400}
         for r in rows:
             assert r["component"] == (r["id"] // 100) * 100
+
+
+class TestBpeTokens:
+    def test_token_count_bpe_literals(self, spark):
+        from h3ronpy_spark.operators.text import token_count_bpe
+
+        df = spark.createDataFrame(
+            [
+                ("hello world",),        # 2
+                ("it's 42 degrees!",),   # it|'s|_42|_degrees|! = 5
+                ("",),                   # 0
+                (None,),                 # 0 (coalesced)
+                ("  spaced   out  ",),   # 2
+            ],
+            "text string",
+        )
+        got = [
+            r["n"]
+            for r in df.select(
+                token_count_bpe(F.col("text")).alias("n")
+            ).collect()
+        ]
+        assert got == [2, 5, 0, 0, 2]
