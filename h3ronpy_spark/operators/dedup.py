@@ -10,6 +10,8 @@ where SQL-expressible):
   * embedding    — cosine near-dup pairs via LSH bucketing + verify
   * components   — pair list -> connected components (hash-min label
                    propagation): one canonical keeper per dup cluster
+  * winnowing    — rolling-hash selected fingerprints (MOSS scheme):
+                   substring/containment duplication pairs
 
 Scale notes: every family is shuffle-on-key (hash/bucket/band), no
 cross joins; candidate verification only touches same-bucket pairs, which
@@ -683,3 +685,110 @@ def dedup_components(
         if n_changed == 0:
             break
     return labels
+
+
+def dedup_drop_duplicates(
+    pairs_or_docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document that is NOT its cluster's keeper: compose
+    pair detection -> dedup_components -> anti-join.  Call as
+    dedup_drop_duplicates(docs, pairs); rows whose id never appears in
+    `pairs` are untouched (singletons keep themselves).  The anti-join
+    shuffles on the id key only; the loser set is the components frame
+    minus its keepers (bounded by the duplicate count, not the corpus)."""
+    docs = pairs_or_docs
+    if pairs is None:
+        raise ValueError(
+            "dedup_drop_duplicates(docs, pairs) requires the pair list"
+        )
+    comp = dedup_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash) fingerprints — substring/containment dups
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 16  # k-gram length (bytes)
+_WINNOW_W = 8  # winnowing window (hashes)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def winnow_signature(text: pd.Series) -> pd.Series:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS scheme over byte k-grams): polynomial rolling hash of every
+    16-byte gram, then the minimum hash of each 8-hash window — the
+    classic guarantee that any shared substring of length >= k + w - 1
+    contributes at least one IDENTICAL selected fingerprint to both
+    documents.  Detects substring/containment duplication (quotes,
+    mirrored fragments) that whole-document minhash dilutes away.
+
+    Vectorized: the k hash iterations are whole-array uint64 ops; window
+    minima via a strided view.  Returns the sorted distinct selected
+    hashes (int63) — null for docs shorter than k + w - 1 bytes."""
+    n = len(text)
+    out: list[list[int] | None] = [None] * n
+    B = np.uint64(1099511628211)  # FNV prime as the polynomial base
+    mask63 = np.int64(0x7FFFFFFFFFFFFFFF)
+    min_len = _WINNOW_K + _WINNOW_W - 1
+    for i, t in enumerate(text.to_numpy(dtype=object)):
+        if t is None:
+            continue
+        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if b.size < min_len:
+            continue
+        m = b.size - _WINNOW_K + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(_WINNOW_K):
+            h = h * B + b[j : j + m].astype(np.uint64)
+        wins = np.lib.stride_tricks.sliding_window_view(h, _WINNOW_W)
+        sel = wins.min(axis=1)
+        out[i] = np.unique(sel.view(np.int64) & mask63).tolist()
+    return pd.Series(out)
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_common: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs of documents sharing >= min_common winnowing fingerprints
+    (substring-level duplication).  The candidate join is an equi-join
+    on the fingerprint value with the same hot-bucket sub-split guard
+    and one-exchange self-join as the other pair families; pass `fps`
+    (a stored (id, fp) frame) to skip the kernel pass.  Returns
+    (id_a, id_b, n_common)."""
+    if fps is None:
+        fps = (
+            docs.select(
+                F.col(id_col).alias("id"),
+                winnow_signature(F.col(text_col)).alias("fp_list"),
+            )
+            .filter(F.col("fp_list").isNotNull())
+            .select("id", F.explode("fp_list").alias("fp"))
+        )
+    fps = _subsplit_hot_buckets(fps, ["fp"], max_bucket=max_bucket)
+    fps = fps.repartition("fp", "__sub")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -418,3 +418,98 @@ class TestBpeTokens:
             ).collect()
         ]
         assert got == [2, 5, 0, 0, 2]
+
+
+class TestDedupDrop:
+    def test_drop_duplicates_keeps_one_per_cluster(self, spark):
+        from h3ronpy_spark.operators.dedup import (
+            dedup_drop_duplicates,
+            minhash_lsh_pairs,
+        )
+
+        bases = [
+            "the quick brown fox jumps over the lazy dog near the river",
+            "pack my box with five dozen liquor jugs before sunrise today",
+        ]
+        rows = []
+        for c, base in enumerate(bases):
+            for k in range(4):
+                rows.append((c * 100 + k, (base + " ") * 4))
+        rows.append((999, "a completely unrelated singleton document x"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(docs, threshold=0.9)
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_drop_duplicates(docs, pairs).collect()
+        )
+        assert kept == [0, 100, 999]
+
+
+class TestWinnowing:
+    def test_substring_containment_detected(self, spark):
+        """A doc embedding a long fragment of another must pair up even
+        when whole-document minhash similarity is low; unrelated docs
+        must not."""
+        from h3ronpy_spark.operators.dedup import winnow_overlap_pairs
+
+        fragment = (
+            "this exact shared passage appears verbatim inside both "
+            "documents and is long enough to guarantee fingerprints"
+        )
+        filler_a = "completely different leading content about rivers. "
+        filler_b = (
+            "unrelated trailing prose concerning orbital mechanics and "
+            "the economics of tulip farming in the seventeenth century. "
+        ) * 3
+        docs = spark.createDataFrame(
+            [
+                (1, filler_a + fragment),
+                (2, fragment + filler_b),
+                (3, "nothing in common with the others at all, truly " * 3),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = winnow_overlap_pairs(docs, min_common=2).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+        assert pairs[0]["n_common"] >= 2
+
+    def test_winnow_guarantee_property(self, spark):
+        """Winnowing guarantee: a shared substring of length >= k+w-1
+        (= 23 bytes with the defaults) yields >= 1 common fingerprint."""
+        import numpy as np_
+
+        from h3ronpy_spark.operators.dedup import winnow_signature
+
+        rng = np_.random.default_rng(3)
+        shared = "zq" * 20  # 40 bytes, well over k + w - 1
+        left = "".join(rng.choice(list("abcdef "), 80)) + shared
+        right = shared + "".join(rng.choice(list("uvwxyz "), 80))
+        f = winnow_signature.func
+        import pandas as pd_
+
+        sa, sb = f(pd_.Series([left, right]))
+        assert set(sa) & set(sb)
+
+    def test_winnow_short_doc_null(self, spark):
+        import pandas as pd_
+
+        from h3ronpy_spark.operators.dedup import winnow_signature
+
+        got = winnow_signature.func(pd_.Series(["tiny", None]))
+        assert got[0] is None and got[1] is None
+
+    def test_winnow_partition_invariant(self, spark):
+        from h3ronpy_spark.operators.dedup import winnow_overlap_pairs
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+        a = sorted(map(tuple, winnow_overlap_pairs(docs).collect()))
+        b = sorted(
+            map(
+                tuple,
+                winnow_overlap_pairs(docs.repartition(16)).collect(),
+            )
+        )
+        assert a == b
