@@ -399,36 +399,76 @@ def cell_to_fijk(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return face, c, res
 
 
+def _aligned_f64(n: int) -> np.ndarray:
+    """A 64-byte-aligned float64 buffer of length n (over-allocate and
+    slice to the aligned offset)."""
+    raw = np.empty(n + 8, dtype=np.float64)
+    off = (-raw.ctypes.data) % 64 // 8
+    return raw[off : off + n]
+
+
 def fijk_to_geo(face, c, res, substrate: bool = False):
     """Face-plane lattice coords -> (lat, lng) radians (no overage).
 
     Inverse gnomonic via the same tangent bases as the encode: the sphere
     direction is c + s*(x*U + y*V) (un-normalized is fine for atan2), which
-    replaces the azimuth/great-circle trig (arctan + geo_az_distance)."""
-    face = np.asarray(face, dtype=np.int64)
-    res = np.asarray(res, dtype=np.int64)
+    replaces the azimuth/great-circle trig (arctan + geo_az_distance).
+
+    BIT-STABILITY (round-4): numpy's elementwise kernels can return
+    last-ulp-different results for value-identical inputs at different
+    heap addresses (SIMD peel/remainder split follows alignment; caught
+    by a flaky concave-hull byte-equality test, ~10% of fresh
+    processes).  Boundary coordinates are compared BYTE-EXACTLY
+    downstream (WKB goldens, hull determinism), so every float op here
+    runs through 64-byte-ALIGNED buffers with out= — identical
+    alignment -> identical code path -> identical bits, regardless of
+    allocator state."""
+    shape = np.asarray(face).shape
+    face = np.asarray(face, dtype=np.int64).ravel()
+    res = np.asarray(res, dtype=np.int64).ravel()
     v = IJK.ijk_to_hex2d(np.asarray(c, dtype=np.int64))
-    x, y = v[..., 0], v[..., 1]
+    n = face.shape[0]
+    x = _aligned_f64(n)
+    y = _aligned_f64(n)
+    np.copyto(x, v[..., 0].reshape(n))
+    np.copyto(y, v[..., 1].reshape(n))
     odd = (res & 1) == 1
-    s = RES0_U_GNOMONIC / _SQRT7_POW[res]
+    s = _aligned_f64(n)
+    np.divide(RES0_U_GNOMONIC, _SQRT7_POW[res], out=s)
     if substrate:
         # substrate grids scale r instead of rotating theta for odd res
-        s = s / 3.0
-        s = np.where(odd, s / M_SQRT7, s)
+        np.divide(s, 3.0, out=s)
+        np.divide(s, M_SQRT7, out=s, where=odd)
         U = _FACE_U[face]
         V = _FACE_V[face]
     else:
         ob = odd[..., None]
         U = np.where(ob, _FACE_U_ODD[face], _FACE_U[face])
         V = np.where(ob, _FACE_V_ODD[face], _FACE_V[face])
-    D = (
-        FACE_CENTER_XYZ[face]
-        + (x * s)[..., None] * U
-        + (y * s)[..., None] * V
-    )
-    lat = np.arctan2(D[..., 2], np.hypot(D[..., 0], D[..., 1]))
-    lng = np.arctan2(D[..., 1], D[..., 0])
-    return lat, lng
+    C = FACE_CENTER_XYZ[face]
+    np.multiply(x, s, out=x)  # x*s
+    np.multiply(y, s, out=y)  # y*s
+    d0 = _aligned_f64(n)
+    d1 = _aligned_f64(n)
+    d2 = _aligned_f64(n)
+    t = _aligned_f64(n)
+    col = _aligned_f64(n)
+    for out_d, k in ((d0, 0), (d1, 1), (d2, 2)):
+        # D_k = C_k + x*s*U_k + y*s*V_k, every operand/result aligned
+        np.copyto(col, U[:, k])
+        np.multiply(x, col, out=out_d)
+        np.copyto(col, V[:, k])
+        np.multiply(y, col, out=t)
+        np.add(out_d, t, out=out_d)
+        np.copyto(col, C[:, k])
+        np.add(out_d, col, out=out_d)
+    hyp = _aligned_f64(n)
+    np.hypot(d0, d1, out=hyp)
+    lat = _aligned_f64(n)
+    lng = _aligned_f64(n)
+    np.arctan2(d2, hyp, out=lat)
+    np.arctan2(d1, d0, out=lng)
+    return lat.copy().reshape(shape), lng.copy().reshape(shape)
 
 
 def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
