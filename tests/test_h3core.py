@@ -447,3 +447,57 @@ class TestConcaveHull:
         wk = parse_wkb(cells_concave_hull_wkb(cells, 2.0))["polys"][0][0]
         assert self._area(wk[:-1]) <= self._area(wc[:-1]) + 1e-12
         assert wk.shape[0] >= wc.shape[0]  # digging only adds vertices
+
+
+class TestAllocatorStateDeterminism:
+    def test_boundary_bits_stable_under_heap_perturbation(self):
+        """Round-4: numpy elementwise kernels can emit last-ulp-different
+        results for value-identical inputs at different heap addresses
+        (SIMD peel follows alignment) — caught as a ~10% flake in the
+        concave-hull byte-equality test.  fijk_to_geo pins alignment;
+        this pins the property: boundary/vertex/center/area outputs must
+        be bit-identical regardless of allocator state."""
+        import random
+
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.h3core.boundary import cell_area_km2, cell_boundary
+        from h3ronpy_spark.h3core.edges import (
+            cells_to_edges,
+            cells_to_vertexes,
+            edge_boundary,
+            vertexes_to_latlng,
+        )
+
+        h5 = LL.latlng_to_cell(
+            np.radians([45.5, 45.8]), np.radians([10.2, 10.6]), 5
+        )
+        _, kids = IDX.cell_to_children_flat(h5, 7)
+        cells = np.unique(kids)
+        _, edges = cells_to_edges(cells[:200])
+        _, verts = cells_to_vertexes(cells[:200])
+        vids = np.sort(np.unique(verts))
+        kernels = {
+            "cell_boundary": lambda: cell_boundary(cells.copy()),
+            "cell_to_latlng": lambda: LL.cell_to_latlng(cells.copy()),
+            "vertexes_to_latlng": lambda: vertexes_to_latlng(vids.copy()),
+            "edge_boundary": lambda: edge_boundary(edges.copy()),
+            "cell_area_km2": lambda: cell_area_km2(cells.copy()),
+        }
+        refs = {k: f() for k, f in kernels.items()}
+
+        def eq(a, b):
+            if isinstance(a, tuple):
+                return all(eq(x, y) for x, y in zip(a, b))
+            if a.dtype.kind == "f":
+                return np.array_equal(a, b, equal_nan=True)
+            return np.array_equal(a, b)
+
+        rng = random.Random(7)
+        junk = []
+        for _ in range(25):
+            junk.append(np.random.rand(rng.randint(1, 9000)))
+            for k, f in kernels.items():
+                assert eq(refs[k], f()), (
+                    f"{k} output bits changed with allocator state"
+                )
