@@ -20,12 +20,53 @@ is the property that survives 100x data growth.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+# bounded per-session cache of ad-hoc signature frames (round-5, VERDICT
+# r04 item 4): when minhash_lsh_pairs computes signatures itself
+# (sigs=None) AND the skew guard is on, the guard's hot-bucket
+# aggregation branch would re-run the signature kernel subtree; the
+# frame is persisted instead, with the same one-slot-per-session
+# bookkeeping as operators/compact.py (each new ad-hoc call releases
+# the previous call's persisted signatures; thread-safe).
+_SIG_LOCK = threading.Lock()
+_SIG_PERSISTED: dict = {}  # session key -> [DataFrame]
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    try:
+        key = id(df.sparkSession)
+    except Exception:
+        key = None
+    h = df.persist()
+    with _SIG_LOCK:
+        for old in _SIG_PERSISTED.pop(key, []):
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _SIG_PERSISTED[key] = [h]
+    return h
+
+
+def unpersist_signatures() -> None:
+    """Release every ad-hoc signature frame persisted by the pair
+    families (all sessions)."""
+    with _SIG_LOCK:
+        for hs in _SIG_PERSISTED.values():
+            for h in hs:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+        _SIG_PERSISTED.clear()
 
 # ---------------------------------------------------------------------------
 # exact
@@ -240,6 +281,14 @@ def minhash_lsh_pairs(
     skip signature computation entirely."""
     if sigs is None:
         sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+        if max_bucket is not None:
+            # the skew guard's hot-bucket aggregation is a SECOND reader
+            # of the signature subtree (the self-join's two sides share
+            # one exchange, but the guard agg sits upstream of it);
+            # persist so the pandas-UDF kernel runs exactly one pass
+            # even on the ad-hoc path (VERDICT r04 item 4 — callers at
+            # scale still pass materialized sigs= and skip this)
+            sigs = _persist_bounded(sigs)
     rows_per_band = _N_HASHES // _BANDS
     bands = sigs.select(
         "id",
@@ -485,6 +534,9 @@ def simhash_pairs(
             F.col(id_col).alias("id"),
             simhash64(F.col(text_col)).alias("sim"),
         ).filter(F.col("sim").isNotNull())
+        if max_bucket is not None:
+            # one kernel pass on the ad-hoc path (see minhash_lsh_pairs)
+            sigs = _persist_bounded(sigs)
     bands = sigs.select(
         "id",
         "sim",
@@ -617,48 +669,67 @@ def dedup_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 50,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: returns
     (id, component) where `component` is the MINIMUM id reachable from
     `id` — the canonical "keeper" of each duplicate cluster (the same
     keeper rule as dedup_exact).  Compose: minhash_lsh_pairs /
     simhash_pairs / ngram_jaccard_pairs -> dedup_components ->
-    anti-join keepers to drop all but one doc per cluster.
+    anti-join keepers to drop all but one doc per cluster.  Ids keep
+    their ORIGINAL type (long, string, ... — ADVICE r04: no silent
+    cast-to-long); for string ids "minimum" is the lexicographic min.
+    Null ids in `pairs` raise ValueError instead of silently corrupting
+    components.
 
-    Algorithm: hash-min label propagation — each iteration joins every
-    node's current label against the (symmetrized) edge list and keeps
-    the minimum neighbor label (two shuffles per iteration, both
-    equi-joins on id; no driver-side graph).  Iterations are bounded by
-    the graph diameter, which for near-dup clusters is tiny (duplicate
-    clusters are near-cliques: LSH emits most intra-cluster pairs, so
-    diameter is 1-3 hops); convergence is detected with a count of
-    changed labels and the loop stops early.  At 100 TB scale this is
-    the standard alternating-iteration shape (each step is a plain
-    shuffle-on-key join AQE can size); `max_iters` is a hard safety
-    bound, and each iteration's frame is localCheckpointed to keep the
-    lineage from growing multiplicatively across iterations."""
+    Algorithm: hash-min label propagation WITH pointer-jumping — each
+    iteration (a) joins every node's current label against the
+    (symmetrized) edge list and keeps the minimum neighbor label, then
+    (b) shortcuts component -> component's-component (one self-join).
+    The shortcut doubles how far a label has propagated each round, so
+    convergence is O(log diameter) instead of O(diameter): a 10^5-node
+    path graph finishes in ~log2(1e5) ≈ 17 rounds, well inside
+    max_iters (pinned by test_components_path_1e5_logarithmic).  At
+    100 TB scale this is the standard alternating-iteration shape
+    (each step is a plain shuffle-on-key equi-join AQE can size);
+    every iteration's frame is localCheckpointed to keep lineage from
+    growing multiplicatively.  If the loop exhausts `max_iters` with
+    labels still changing, RuntimeError is raised (ADVICE r04: never
+    silently return split components).  Pass `_stats={}` to receive
+    {"iterations": n, "converged": bool} for tests/telemetry."""
+    id_type = pairs.schema[a_col].dataType.simpleString()
     edges = (
         pairs.select(
-            F.col(a_col).cast("long").alias("src"),
-            F.col(b_col).cast("long").alias("dst"),
+            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
         )
         .unionByName(
             pairs.select(
-                F.col(b_col).cast("long").alias("src"),
-                F.col(a_col).cast("long").alias("dst"),
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
             )
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_null = edges.filter(
+        F.col("src").isNull() | F.col("dst").isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"dedup_components: {n_null} edge endpoint(s) are NULL in "
+            f"columns ({a_col}, {b_col}) of type {id_type}; null ids "
+            "would silently corrupt component labels"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
+    iters = 0
     for _ in range(max_iters):
-        # min label among each node's neighbors (incl. itself)
+        iters += 1
+        # (a) min label among each node's neighbors (incl. itself)
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("id", "dst"), "dst"
@@ -667,23 +738,50 @@ def dedup_components(
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "id")
         )
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
+        )
+        # (b) pointer-jumping shortcut: component := component(component).
+        # Labels always point at existing node ids (they start as ids and
+        # only ever take a neighbor's label), so the left join hits.
+        jump = stepped.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("__jump"),
+        )
         updated = (
-            labels.join(neighbor_min, "id", "left")
+            stepped.join(jump, "component", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
+                    F.col("component"), F.coalesce("__jump", "component")
                 ).alias("component"),
                 (
-                    F.coalesce("nbr_min", "component")
-                    < F.col("component")
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("__jump", "component"),
+                    )
+                    < F.col("__old")
                 ).alias("__changed"),
             )
         ).localCheckpoint(eager=True)
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+    if _stats is not None:
+        _stats["iterations"] = iters
+        _stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iters="
+            f"{max_iters} (labels still changing); raise max_iters — "
+            "pointer-jumping needs only ~log2(graph diameter) rounds"
+        )
     return labels
 
 

@@ -315,6 +315,139 @@ class TestCodecRegistry:
             unregister_codec("toy_xor")
 
 
+class TestAdhocSigPersist:
+    def test_minhash_adhoc_single_signature_stage(self, spark):
+        """VERDICT r04 item 4: with the skew guard ON and sigs=None, the
+        signature frame is persisted, so BOTH readers of the signature
+        subtree (the guard's hot-bucket aggregation and the band
+        self-join) scan the cache instead of re-running the pandas-UDF
+        kernel — the executed plan shows InMemoryTableScan nodes in
+        place of a duplicated ArrowEvalPython subtree, and the result is
+        byte-identical to the explicit sigs= path."""
+        from h3ronpy_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+            unpersist_signatures,
+        )
+
+        unpersist_signatures()
+        docs = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("some repeated text body number "),
+                (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        try:
+            pairs = minhash_lsh_pairs(docs, max_bucket=100)
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+            got = sorted(map(tuple, pairs.collect()))
+            # equality with the materialized-signatures path
+            sigs = minhash_signatures(docs)
+            want = sorted(
+                map(
+                    tuple,
+                    minhash_lsh_pairs(
+                        docs, max_bucket=100, sigs=sigs
+                    ).collect(),
+                )
+            )
+            assert got == want and got
+        finally:
+            unpersist_signatures()
+
+    def test_no_guard_no_persist(self, spark):
+        """max_bucket=None keeps the unguarded single-reader plan
+        persist-free (nothing to share; don't spend cache)."""
+        from h3ronpy_spark.operators.dedup import (
+            _SIG_PERSISTED,
+            minhash_lsh_pairs,
+            unpersist_signatures,
+        )
+
+        unpersist_signatures()
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("body "), F.col("id").cast("string")).alias(
+                "text"
+            ),
+        )
+        minhash_lsh_pairs(docs, max_bucket=None).count()
+        assert not any(_SIG_PERSISTED.values())
+        unpersist_signatures()
+
+
+class TestLshDropAccounting:
+    def test_posting_stats_and_recall_when_cap_fires(self, spark):
+        """VERDICT r04 item 5: when the lsh_topk guard drops hot posting
+        lists, the drop is VISIBLE (lsh_posting_list_stats) and the
+        recall impact is pinned.  Dataset: 120 copies of one degenerate
+        vector (every band's posting list for it exceeds max_bucket=64
+        -> all dropped -> unreachable) + distinct random vectors.  A
+        query near the degenerate cluster loses it (recall ~0 for those
+        truth rows); queries near normal vectors keep recall 1.0."""
+        import numpy as np
+
+        from h3ronpy_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_posting_list_stats,
+            lsh_topk,
+        )
+
+        rng = np.random.default_rng(11)
+        dim = 16
+        degen = np.ones(dim) / np.sqrt(dim)
+        center = rng.normal(size=dim)
+        rows = [(i, degen.tolist()) for i in range(120)]
+        rows += [
+            (200 + i, (rng.normal(size=dim)).tolist()) for i in range(60)
+        ]
+        # a TIGHT cluster around `center`: its members share every band
+        # key with the center query (cosine ~= 1 -> identical projection
+        # signs), so the control query's recall is exactly 1.0 and any
+        # shortfall in it would be the guard's fault, not generic LSH
+        # approximation
+        rows += [
+            (400 + i, (center + 1e-6 * rng.normal(size=dim)).tolist())
+            for i in range(12)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        stats = {
+            r["band"]: r
+            for r in lsh_posting_list_stats(emb, max_bucket=64).collect()
+        }
+        # every band's degenerate posting list (>= 120 rows) is dropped
+        assert all(s["keys_dropped"] >= 1 for s in stats.values())
+        assert all(s["rows_dropped"] >= 120 for s in stats.values())
+        assert all(0 < s["dropped_frac"] < 1 for s in stats.values())
+        # query A: the degenerate direction -> truth is the dropped
+        # cluster -> approx recall collapses (visible, not silent)
+        # query B: a normal vector -> unaffected, recall stays perfect
+        qa = degen
+        qb = center
+        queries = spark.createDataFrame(
+            [(0, qa.tolist()), (1, qb.tolist())],
+            "qid long, qvec array<double>",
+        )
+        truth = brute_force_topk(emb, queries, k=10)
+        approx = lsh_topk(emb, queries, k=10, max_bucket=64)
+        t = {(r["qid"], r["vec_id"]) for r in truth.collect()}
+        a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+        recall_a = len({p for p in t if p[0] == 0} & a) / 10
+        recall_b = len({p for p in t if p[0] == 1} & a) / 10
+        assert recall_b == 1.0
+        assert recall_a == 0.0  # the whole dropped cluster is the truth
+        # with the cap off, both queries are exact
+        a_nocap = {
+            (r["qid"], r["vec_id"])
+            for r in lsh_topk(emb, queries, k=10, max_bucket=None).collect()
+        }
+        assert len(t & a_nocap) == len(t)
+
+
 class TestDedupComponents:
     def _truth(self, edges, nodes):
         # union-find ground truth (driver-side)
@@ -366,6 +499,66 @@ class TestDedupComponents:
         got = dedup_components(pairs, max_iters=40).collect()
         assert all(r["component"] == 0 for r in got)
         assert len(got) == 31
+
+    def test_components_string_ids_no_cast(self, spark):
+        """ADVICE r04: string doc ids must survive the propagation (the
+        old long-cast silently nulled them).  Keeper = lexicographic min."""
+        from h3ronpy_spark.operators.dedup import dedup_components
+
+        pairs = spark.createDataFrame(
+            [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-z", "doc-y")],
+            "id_a string, id_b string",
+        )
+        got = {
+            r["id"]: r["component"] for r in dedup_components(pairs).collect()
+        }
+        assert got == {
+            "doc-a": "doc-a",
+            "doc-b": "doc-a",
+            "doc-c": "doc-a",
+            "doc-y": "doc-y",
+            "doc-z": "doc-y",
+        }
+
+    def test_components_null_ids_raise(self, spark):
+        from h3ronpy_spark.operators.dedup import dedup_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (None, 3)], "id_a long, id_b long"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            dedup_components(pairs)
+
+    def test_components_nonconvergence_raises(self, spark):
+        """ADVICE r04: exhausting max_iters with labels still moving must
+        raise, never silently return split components."""
+        from h3ronpy_spark.operators.dedup import dedup_components
+
+        chain = [(i, i + 1) for i in range(40)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(pairs, max_iters=1)
+
+    @pytest.mark.slow
+    def test_components_path_1e5_logarithmic(self, spark):
+        """VERDICT r04 item 6: worst-case bound.  A 10^5-node path graph
+        has diameter 10^5 — plain hash-min label propagation needs 10^5
+        rounds; with pointer-jumping every round doubles the propagated
+        distance, so convergence is ~log2(10^5) ≈ 17 rounds.  Pin both
+        the iteration count and the exact labels."""
+        from h3ronpy_spark.operators.dedup import dedup_components
+
+        n = 100_000
+        pairs = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        stats: dict = {}
+        comp = dedup_components(pairs, max_iters=30, _stats=stats)
+        assert comp.filter(F.col("component") != 0).count() == 0
+        assert comp.count() == n
+        assert stats["converged"]
+        # log2(1e5) ≈ 16.6; allow slack for the +1-hop-then-jump schedule
+        assert stats["iterations"] <= 25, stats
 
     def test_components_compose_with_minhash(self, spark):
         """End-to-end: seeded duplicate clusters -> minhash pairs ->
