@@ -645,8 +645,10 @@ def cells_dataframe_to_wkb(df, cell_col: str = "cell",
                            geom_col: str = "geometry"):
     """Op 44: attach hexagon polygon WKB geometry column (carrying the
     geoarrow.wkb extension tag, matching the reference's extension field
-    on WKB outputs — h3ronpy/src/vector.rs:282-283)."""
-    return df.select(
+    on WKB outputs — h3ronpy/src/vector.rs:282-283).  An existing column
+    named `geom_col` is replaced, not duplicated (ADVICE r04)."""
+    base = df.drop(geom_col) if geom_col in df.columns else df
+    return base.select(
         "*", as_geoarrow_wkb(cells_to_wkb_polygons(F.col(cell_col)), geom_col)
     )
 

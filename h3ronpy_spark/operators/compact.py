@@ -15,6 +15,8 @@ and has ONE stage boundary regardless of resolution span).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -24,19 +26,43 @@ from .. import functions as H
 
 _GROUP_RES = 2
 
-# most-recent persisted intermediate (round-4, ADVICE r03): iterative
-# callers used to accrete one MEMORY_AND_DISK cache per compact_cells call
-# until session end; now each new call releases the previous call's
-# intermediate, bounding default cache growth at one (small, compacted)
-# DataFrame.  Callers that interleave actions on older compact results
-# simply recompute (correctness unaffected).
-_LAST_PERSISTED: list = []
+# most-recent persisted intermediate PER SparkSession (round-5, ADVICE
+# r04): bookkeeping is keyed by session id and guarded by a lock so two
+# driver threads interleaving compact_cells on different sessions cannot
+# pop/unpersist each other's cache mid-query; within one session, each
+# new call still releases the previous call's intermediate (bounding
+# default cache growth at one small, compacted DataFrame per session).
+# Callers that interleave actions on OLDER compact results of the same
+# session simply recompute (correctness unaffected; documented).
+_PERSIST_LOCK = threading.Lock()
+_LAST_PERSISTED: dict = {}  # session key -> [DataFrame]
 
 
-def unpersist_intermediates() -> None:
-    """Release any intermediate compact_cells persisted (blocking=False)."""
-    while _LAST_PERSISTED:
-        _LAST_PERSISTED.pop().unpersist()
+def _session_key(df: DataFrame):
+    try:
+        return id(df.sparkSession)
+    except Exception:
+        return None
+
+
+_ALL_SESSIONS = object()
+
+
+def unpersist_intermediates(session_key=_ALL_SESSIONS) -> None:
+    """Release intermediates compact_cells persisted (blocking=False).
+    With no argument, releases across ALL sessions."""
+    with _PERSIST_LOCK:
+        keys = (
+            list(_LAST_PERSISTED)
+            if session_key is _ALL_SESSIONS
+            else [session_key]
+        )
+        for k in keys:
+            for h in _LAST_PERSISTED.pop(k, []):
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
 
 
 def compact_cells(
@@ -72,8 +98,10 @@ def compact_cells(
     grouped = fine.groupBy("__anc").applyInPandas(_compact_group, "cell long")
     if persist_intermediate:
         grouped = grouped.persist()
-        unpersist_intermediates()
-        _LAST_PERSISTED.append(grouped)
+        key = _session_key(df)
+        unpersist_intermediates(key)
+        with _PERSIST_LOCK:
+            _LAST_PERSISTED.setdefault(key, []).append(grouped)
     # cells promoted all the way to the group ancestor (res == _GROUP_RES)
     # may form complete sibling sets ACROSS groups; finish them with the
     # same kernel in a single-group second stage together with the
