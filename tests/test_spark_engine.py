@@ -527,10 +527,14 @@ class TestStatefulStreaming:
             .start()
         )
         q.awaitTermination()
+        from h3ronpy_spark.streaming import final_sessions
+
         got = (
-            spark.sql(
-                "select user_id, count(*) as n_sessions, sum(n_events) as n_events "
-                "from sessions_stateful group by user_id"
+            final_sessions("sessions_stateful", spark)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
             )
             .toPandas()
             .set_index("user_id")
@@ -547,6 +551,102 @@ class TestStatefulStreaming:
         for uid in want.index:
             assert got.loc[uid, "n_sessions"] == want.loc[uid, "n_sessions"]
             assert got.loc[uid, "n_events"] == want.loc[uid, "n_events"]
+
+    def test_stateful_sessions_out_of_order_batches(self, spark, tmp_path):
+        """VERDICT r04 item 7: shuffled-input micro-batch sequence.  The
+        per-user event log is PERMUTED across micro-batch files
+        (maxFilesPerTrigger=1 forces one file per trigger), including the
+        adversarial shapes: an event arriving > gap EARLIER than the
+        in-flight session (must open a separate earlier session, not
+        extend the current one) and a late event BRIDGING two
+        already-emitted sessions (must merge them).  Final max-rev state
+        must equal batch sessionization of the fully sorted log —
+        session boundaries AND starts/ends, not just counts."""
+        import pandas as pd
+
+        from h3ronpy_spark.streaming import (
+            final_sessions,
+            stream_user_sessions,
+        )
+
+        GAP = 3600  # 60 min
+        base = pd.Timestamp("2026-01-10 12:00:00")
+        s = lambda mins: base + pd.Timedelta(minutes=mins)  # noqa: E731
+        # user 1: batches arrive [t=100], then [t=0] (earlier by >gap ->
+        #   separate session), then [t=50] (within gap of both -> bridges
+        #   0 and 100 into ONE session of all 3)
+        # user 2: [t=0], [t=200] (new session), [t=199] (joins session 2)
+        # user 3: all in-order in one batch (control)
+        batches = [
+            [(1, s(100)), (2, s(0)), (3, s(0)), (3, s(10))],
+            [(1, s(0)), (2, s(200))],
+            [(1, s(50)), (2, s(199))],
+        ]
+        import glob
+        import shutil
+
+        src = tmp_path / "events_ooo"
+        src.mkdir()
+        flat = tmp_path / "flat"
+        flat.mkdir()
+        # drip one file in per drain: each availableNow run processes
+        # only the newly arrived file, with GroupState carried across
+        # query RESTARTS through the shared checkpoint — a strictly
+        # stronger sequencing guarantee than maxFilesPerTrigger (which
+        # availableNow ignores)
+        all_rows = []
+        for i, rows in enumerate(batches):
+            pdf = spark.createDataFrame(
+                [(u, t.to_pydatetime()) for u, t in rows],
+                "user_id long, ts timestamp",
+            )
+            pdf.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+            (part,) = glob.glob(
+                str(src / f"b{i}.parquet" / "part-*.parquet")
+            )
+            shutil.copy(part, flat / f"batch_{i}.parquet")
+            sess = stream_user_sessions(spark, str(flat), gap_s=GAP)
+            # foreachBatch (checkpoint-recoverable, unlike the memory
+            # sink) appends every emission to a driver-side list
+            q = (
+                sess.writeStream.foreachBatch(
+                    lambda bdf, _bid: all_rows.extend(bdf.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        spark.createDataFrame(all_rows, sess.schema).createOrReplaceTempView(
+            "sessions_ooo_all"
+        )
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in final_sessions("sessions_ooo_all", spark).collect()
+        }
+        want = {
+            # user 1: one merged session 0..100 with 3 events
+            (1, s(0).to_pydatetime(), s(100).to_pydatetime(), 3),
+            # user 2: session 0..0 (1 event) + session 199..200 (2 events)
+            (2, s(0).to_pydatetime(), s(0).to_pydatetime(), 1),
+            (2, s(199).to_pydatetime(), s(200).to_pydatetime(), 2),
+            # user 3: one session 0..10 (2 events)
+            (3, s(0).to_pydatetime(), s(10).to_pydatetime(), 2),
+        }
+        assert got == want
+        # and the intermediate (pre-bridge) state really was split: some
+        # earlier revision of user 1 carried 2 sessions
+        revs = (
+            spark.table("sessions_ooo_all")
+            .filter(F.col("user_id") == 1)
+            .groupBy("rev")
+            .count()
+            .collect()
+        )
+        assert any(r["count"] == 2 for r in revs), revs
+        # three distinct revisions for user 1 = three micro-batches seen
+        assert {r["rev"] for r in revs} == {1, 2, 3}, revs
 
 
 class TestTableSource:
