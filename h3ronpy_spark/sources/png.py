@@ -1,0 +1,207 @@
+"""Pure-Python PNG codec (stdlib zlib only) for the codec registry.
+
+VERDICT r04 item 3: the multimodal path should exercise a REAL
+compressed format with zero new dependencies.  This module implements a
+spec-complete subset of ISO/IEC 15948 (PNG):
+
+  * decode: 8- and 16-bit greyscale (color type 0) and 8-bit RGB
+    (color type 2), non-interlaced, all five scanline filter types
+    (None/Sub/Up/Average/Paeth), chunk CRC verification.
+  * encode: same pixel formats; the row filter is chosen per-row
+    (row % 5) so every decoder filter branch is exercised by any
+    image taller than 4 rows.
+
+The reference's raster path converts in-memory arrays
+(h3ronpy/src/raster.rs:210-219) and leaves container formats to GDAL;
+here the decode step itself is part of the engine's multimodal
+plumbing, registered as fmt="png" via sources.images.register_codec so
+tile_images / image feature extraction run unmodified over compressed
+payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode (h, w) uint8/uint16 greyscale or (h, w, 3) uint8 RGB.
+
+    Per-row filter = row_index % 5, covering every filter type."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2 and arr.dtype == np.uint8:
+        color_type, bit_depth, channels = 0, 8, 1
+    elif arr.ndim == 2 and arr.dtype == np.uint16:
+        color_type, bit_depth, channels = 0, 16, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
+        color_type, bit_depth, channels = 2, 8, 3
+    else:
+        raise ValueError(
+            f"unsupported array for PNG encode: shape={arr.shape} "
+            f"dtype={arr.dtype}"
+        )
+    h, w = arr.shape[:2]
+    bpp = channels * (bit_depth // 8)
+    # raw scanline bytes, big-endian sample order per the spec
+    if bit_depth == 16:
+        rows = arr.astype(">u2").tobytes()
+    else:
+        rows = arr.tobytes()
+    stride = w * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        raw = rows[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        out.append(ftype)
+        if ftype == 0:  # None
+            out += raw
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = raw[x - bpp] if x >= bpp else 0
+                out.append((raw[x] - left) & 0xFF)
+        elif ftype == 2:  # Up
+            out += bytes((raw[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = raw[x - bpp] if x >= bpp else 0
+                out.append((raw[x] - (left + prev[x]) // 2) & 0xFF)
+        else:  # Paeth
+            for x in range(stride):
+                left = raw[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                out.append((raw[x] - _paeth(left, prev[x], ul)) & 0xFF)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode a non-interlaced greyscale-8/16 or RGB-8 PNG to a numpy
+    array of shape (h, w) or (h, w, 3).  Verifies chunk CRCs."""
+    if blob[:8] != _SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", blob[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "only compression=0, filter=0, non-interlaced PNGs supported"
+        )
+    if (color_type, bit_depth) not in ((0, 8), (0, 16), (2, 8)):
+        raise NotImplementedError(
+            f"unsupported PNG color_type={color_type} bit_depth={bit_depth}"
+        )
+    channels = 3 if color_type == 2 else 1
+    bpp = channels * (bit_depth // 8)
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    recon = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = bytearray(stride)
+        if ftype == 0:  # None
+            row[:] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up — vectorizable, the common filter
+            row[:] = (
+                (
+                    np.frombuffer(line, np.uint8).astype(np.uint16)
+                    + np.frombuffer(prev, np.uint8)
+                )
+                & 0xFF
+            ).astype(np.uint8).tobytes()
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: bad filter type {ftype} on row {y}")
+        recon[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    if bit_depth == 16:
+        a = np.frombuffer(bytes(recon), ">u2").astype(np.uint16)
+    else:
+        a = np.frombuffer(bytes(recon), np.uint8)
+    if channels == 3:
+        return a.reshape(h, w, 3)
+    return a.reshape(h, w)
+
+
+def png_codec(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Codec-registry adapter: decode and sanity-check the declared
+    geometry (the images-table schema carries w/h as typed metadata)."""
+    a = decode_png(blob)
+    if a.shape[:2] != (int(h), int(w)):
+        raise ValueError(
+            f"PNG geometry mismatch: decoded {a.shape[:2]}, "
+            f"metadata says {(int(h), int(w))}"
+        )
+    return a
+
+
+def register_png_codec() -> None:
+    """Register fmt='png' in the image codec registry."""
+    from .images import register_codec
+
+    register_codec("png", png_codec)
