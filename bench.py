@@ -241,6 +241,7 @@ def timed_reps(
     ratios: list[float] = []
     pressures: list[dict] = []
     t_section = time.time()
+    time.sleep(1.5)  # settle after the caller's untimed warm-up rep
     r_prev = window_ratio()
     while len(times) < max_reps:
         snap0 = _machine_snapshot()
@@ -248,6 +249,14 @@ def timed_reps(
         run_once()
         dt = time.time() - t0
         snap1 = _machine_snapshot()
+        # settle before the flanking probe: right after a heavy Spark rep
+        # the JVM is still unwinding (GC, shuffle cleanup, python worker
+        # teardown) and depresses the probes even on a perfectly quiet
+        # box — the round-4 driver capture showed calm in-rep pressure
+        # (extern 0.0) yet flanks 0.6-0.8, i.e. the probe was measuring
+        # OUR tail, not co-tenants.  1.5 s lets the JVM quiesce; real
+        # external pressure persists across the pause and is still caught.
+        time.sleep(1.5)
         r_next = window_ratio()
         times.append(dt)
         ratios.append(min(r_prev, r_next))
@@ -304,10 +313,55 @@ def pick_headline_times(
         if r >= quiet_thresh and _is_calm(p)
     ]
     picked = {}
+    all_quiet = bool(quiet_passes)
     for name, times in hl_times.items():
         pool = [times[i] for i in quiet_passes if i < len(times)]
         picked[name] = min(pool) if pool else min(times)
-    return picked, bool(quiet_passes)
+        if not pool:
+            # this query's reported time did NOT come from a quiet pass
+            # (ADVICE r04: the flag must certify every reported number)
+            all_quiet = False
+    return picked, all_quiet
+
+
+def _emit(meta: dict) -> None:
+    """Print the bench result.  Inside a section subprocess the FULL json
+    goes to stdout (the parent merges `stats`).  At top level the full
+    json is written to BENCH_detail.json and the printed line is a
+    COMPACT summary: the driver that records BENCH_r{N}.json captures
+    only the last ~2000 chars of stdout and parses from there — rounds 3
+    and 4 overflowed that with the full stats blob and were recorded as
+    parsed=null (unparseable tail), losing the headline metric."""
+    if os.environ.get("BENCH_SUBPROC") == "1":
+        print(json.dumps(meta))
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_detail.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    compact = {
+        k: meta[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "cpus",
+            "n_images", "n_points",
+        )
+        if k in meta
+    }
+    s = meta.get("stats", {})
+    keep = [
+        "scaling_quiet_window", "scaling_pip_normalized",
+        "scaling_rows_per_sec", "scaling_joined_rows",
+        "flagship_quiet_window", "flagship_normalized",
+        "flagship_images_per_sec", "flagship_joined_tiles",
+        "flagship_runs", "scaling_runs",
+        "headline_quiet_window",
+    ]
+    compact["stats"] = {k: s[k] for k in keep if k in s}
+    compact["detail"] = "BENCH_detail.json"
+    line = json.dumps(compact)
+    if len(line) >= 1900:  # stay inside the driver's 2000-char tail
+        compact.pop("stats", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 def _run_sections_in_subprocesses() -> None:
@@ -328,6 +382,7 @@ def _run_sections_in_subprocesses() -> None:
             continue
         env = dict(os.environ)
         env["BENCH_ONLY"] = sec
+        env["BENCH_SUBPROC"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -352,7 +407,7 @@ def _run_sections_in_subprocesses() -> None:
     meta["queries"] = merged_q
     meta["stats"] = merged_extra
     meta["value"] = round(sum(merged_q.values()), 2)
-    print(json.dumps(meta))
+    _emit(meta)
 
 
 def main() -> None:
@@ -549,7 +604,7 @@ def main() -> None:
 
         _flag_once()  # warm-up, untimed
         flag_runs, fratios, fpress = timed_reps(
-            _flag_once, min_reps=2, max_reps=6, budget_s=REP_BUDGET
+            _flag_once, min_reps=2, max_reps=10, budget_s=REP_BUDGET
         )
         flag_secs, flag_norm, flag_quiet = pick_time(
             flag_runs, fratios, fpress
@@ -613,6 +668,8 @@ def main() -> None:
                 hl_times[name].append(round(time.time() - t0, 2))
                 extra[f"{name}_rows"] = n
             snap1 = _machine_snapshot()
+            time.sleep(1.5)  # settle (see timed_reps): probe co-tenants,
+            # not our own JVM unwind
             r_after = window_ratio()
             hl_ratios.append(min(r_before, r_after))
             hl_press.append(
@@ -635,21 +692,19 @@ def main() -> None:
         extra["headline_quiet_window"] = hl_quiet
 
     total = round(sum(results.values()), 2)
-    print(
-        json.dumps(
-            {
-                "metric": "cells encoded + PIP-joined (scaling_pip) + "
-                "flagship + headline wall seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-                "cpus": CPUS,
-                "n_images": N_IMAGES,
-                "n_points": N_POINTS,
-                "stats": extra,
-            }
-        )
+    _emit(
+        {
+            "metric": "cells encoded + PIP-joined (scaling_pip) + "
+            "flagship + headline wall seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": results,
+            "sf": sf,
+            "cpus": CPUS,
+            "n_images": N_IMAGES,
+            "n_points": N_POINTS,
+            "stats": extra,
+        }
     )
     spark.stop()
 
