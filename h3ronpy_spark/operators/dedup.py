@@ -104,7 +104,16 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # or under the cap get n_sub == 1 (behavior byte-identical to no guard).
 # ---------------------------------------------------------------------------
 
-DEFAULT_MAX_BUCKET = 2000
+# Round-5 retuning (scale-stress finding): per sub-bucket the join does
+# ~max_bucket^2/2 candidate verifications, so the cap bounds PER-TASK
+# work: 2000 -> ~2M zip_with(32) verifications ~ seconds per hot task
+# (observed as a straggler tail: 17.3 s for the sf0.1 pair query),
+# while 500 -> ~125k ~ 0.1 s (3.5 s wall, measured).  Pair output was
+# byte-identical at 2000/500/200/100 on both the sf corpora and a
+# 10x-replicated stress corpus — real near-dups share all 8 band
+# buckets and survive through the small ones, so capping a hot bucket
+# costs recall only for pairs whose EVERY bucket is hot (pathological).
+DEFAULT_MAX_BUCKET = 500
 
 
 def _subsplit_hot_buckets(
@@ -321,22 +330,28 @@ def minhash_lsh_pairs(
     bands = bands.repartition("band", "bucket", "__sub")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__sub") == F.col("b.__sub"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.__sub") == F.col("b.__sub"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
     )
+    # Verify BEFORE deduplicating across bands (round-5): a pair's
+    # est_jaccard is identical whichever band surfaced it, so filtering
+    # first is equivalent — and it keeps the 0.5 KB signature arrays OUT
+    # of the dedup shuffle.  With a skewed corpus the candidate stream
+    # is orders of magnitude larger than the surviving pairs (measured:
+    # 50k docs with a 16k-row band bucket -> ~25M guarded candidates vs
+    # 250k survivors; dedup-then-verify shuffled ~15 GB of sig payload
+    # and ran 189 s, verify-then-dedup shuffles 250k skinny rows).  The
+    # repeated est computation for multi-band pairs is map-side codegen
+    # — the CPU-vs-shuffle trade every 100-TB run wants.
     est = cand.withColumn(
         "est_jaccard",
         F.round(
@@ -349,8 +364,10 @@ def minhash_lsh_pairs(
             6,
         ),
     )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", "est_jaccard"
+    return (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -578,14 +595,19 @@ def simhash_pairs(
             F.col("a.sim").alias("sim_a"),
             F.col("b.sim").alias("sim_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # verify-then-dedup (see minhash_lsh_pairs): hamming is band-
+    # independent, so filtering before the cross-band dropDuplicates is
+    # equivalent and shuffles only surviving pairs, not the candidate
+    # explosion of a hot bucket
     pairs = cand.withColumn(
         "hamming",
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -65,10 +65,18 @@ def flagship(
     caps = synth_captions(spark, n_images, seed=seed, partitions=partitions)
     # broadcast only while the caption side is genuinely small: the hash
     # relation is built single-threaded on the driver (the round-3 Amdahl
-    # lesson, spatial_join.py lift_coverage rule) — past ~200k rows let
-    # AQE pick the strategy for the shuffle join on image_id
+    # lesson, spatial_join.py lift_coverage rule).  Past ~200k rows force
+    # a shuffled hash join (parallel per-partition build) — merely
+    # dropping the hint is NOT enough, because Catalyst's size estimate
+    # for the caption side propagates the 8-byte-per-row range stats
+    # through mapInPandas and auto-broadcasts a side that is really
+    # n_images * ~50 B (round-5 finding; at 10^12 images a real scan's
+    # stats prevent that, but the hint makes the strategy explicit at
+    # every scale).
     if n_images <= 200_000:
         caps = F.broadcast(caps)
+    else:
+        caps = caps.hint("shuffle_hash")
     per_img_c = per_img.join(caps, "image_id")
     return (
         per_img_c.groupBy("poly_id")

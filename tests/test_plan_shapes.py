@@ -105,6 +105,98 @@ class TestFlagshipPlan:
         assert plan.count("HashAggregate") >= 4
 
 
+class TestNonBroadcastBranches:
+    """Round-5 (VERDICT r04 item 2): the branches that only fire beyond
+    local test scale — flagship's >200k-image caption join and
+    pip_join's salted shuffle join — pinned by plan shape so their
+    execution strategy is verified without a 600k-row run (the sf1
+    scale-stress in tools/scale_stress_sf1.py executes them for real)."""
+
+    def test_flagship_caption_join_not_broadcast_past_200k(self, spark):
+        """Past 200k images the caption join must be a SHUFFLED hash
+        join (parallel build), never a driver-built BroadcastExchange
+        (single-threaded hash relation — the round-3 Amdahl lesson).
+        Dropping the broadcast hint alone is insufficient: Catalyst's
+        size estimate propagates range's 8 B/row through mapInPandas
+        and auto-broadcasts the really-~50 B/row caption side, so the
+        branch pins an explicit shuffle_hash hint."""
+        from h3ronpy_spark.plans.flagship import flagship
+
+        big = flagship(spark, 200_001, n_polygons=3, res=6)
+        small = flagship(spark, 200_000, n_polygons=3, res=6)
+        plan_big = _plan(big)
+        assert "ShuffledHashJoin" in plan_big, plan_big[:3000]
+        # ...while at/below the threshold the driver broadcast is forced
+        plan_small = _plan(small)
+        n_bhj_small = plan_small.count("BroadcastHashJoin")
+        n_bhj_big = plan_big.count("BroadcastHashJoin")
+        assert n_bhj_small == n_bhj_big + 1, (n_bhj_small, n_bhj_big)
+
+    def test_pip_join_salted_shuffle_branch(self, spark):
+        """broadcast_threshold_rows exceeded + salt: the coverage is
+        replicated per salt value, both sides shuffle on (prefix, salt)
+        — bounded per-task fan-in under a hot prefix — and the output
+        matches the broadcast path row-for-row."""
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        pts = spark.range(4000).select(
+            F.col("id"),
+            H.coordinates_to_cells(
+                (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0
+                 - 85.0),
+                (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0
+                 - 180.0),
+                F.lit(8),
+            ).alias("cell"),
+        )
+        polys = synth_polygons(spark, 8, seed=3)
+        salted = pip_join(
+            pts, polys, res=8, broadcast_threshold_rows=1, salt=4
+        )
+        plan = _plan(salted)
+        assert "BroadcastHashJoin" not in plan.split("AdaptiveSparkPlan")[-1] \
+            or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+        assert "__salt" in plan
+        bcast = pip_join(pts, polys, res=8)
+        got = sorted(
+            map(tuple, salted.select("id", "poly_id").collect())
+        )
+        want = sorted(
+            map(tuple, bcast.select("id", "poly_id").collect())
+        )
+        assert got == want and got
+
+    def test_pip_join_plain_shuffle_branch(self, spark):
+        """Threshold exceeded WITHOUT salt: plain shuffle equi-join on
+        the prefix, same rows as the broadcast path."""
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        pts = spark.range(2000).select(
+            F.col("id"),
+            H.coordinates_to_cells(
+                (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0
+                 - 85.0),
+                (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0
+                 - 180.0),
+                F.lit(8),
+            ).alias("cell"),
+        )
+        polys = synth_polygons(spark, 6, seed=9)
+        shuffled = pip_join(pts, polys, res=8, broadcast_threshold_rows=1)
+        got = sorted(map(tuple, shuffled.select("id", "poly_id").collect()))
+        want = sorted(
+            map(
+                tuple,
+                pip_join(pts, polys, res=8)
+                .select("id", "poly_id")
+                .collect(),
+            )
+        )
+        assert got == want and got
+
+
 class TestIVFPlan:
     def test_probe_side_broadcast_no_cartesian(self, spark):
         """The IVF candidate join must be a broadcast hash equi-join on the
