@@ -134,6 +134,34 @@ class TestPngPure:
             png_codec(blob, w=6, h=5, fmt="png")
         assert png_codec(blob, w=6, h=4, fmt="png").shape == (4, 6)
 
+    def test_roundtrip_property(self):
+        """Hypothesis: encode->decode is the identity for every
+        supported shape/dtype, including shapes that stress each filter
+        type and 16-bit byte order."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 12),
+            w=st.integers(1, 12),
+            kind=st.sampled_from(["g8", "g16", "rgb8"]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, kind, seed):
+            rng = np.random.default_rng(seed)
+            if kind == "g8":
+                a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            elif kind == "g16":
+                a = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+            else:
+                a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            b = decode_png(encode_png(a))
+            assert b.dtype == a.dtype and b.shape == a.shape
+            assert (a == b).all()
+
+        check()
+
     def test_unsupported_color_type_raises(self):
         # color type 6 (RGBA) is out of the supported subset
         blob = self._hand_png(1, 1, [(0, [0, 0, 0, 0])], color_type=6)
