@@ -109,7 +109,41 @@ def pip_join(
     coverage at res R serves any left side at res >= R.  Use
     `min_coverage_res` to trade a slightly larger broadcast for fewer
     exploded probe rows (see lift_coverage) — measured 1.5x on the
-    24M-point scaling workload."""
+    24M-point scaling workload.
+
+    how: "inner" (default) attaches polygon attributes; "left_semi" /
+    "left_anti" return the left rows that do / don't fall in any
+    polygon.  Semi/anti CANNOT ride directly on the prefix-exploded
+    join (round-5 fix): a row explodes to one ancestor per coverage
+    resolution, and anti-joining the exploded rows keeps every copy
+    whose LEVEL missed — a matched point still surfaced through its
+    other levels (and semi could duplicate a row matching two
+    overlapping polygons at different levels).  Rows are instead tagged
+    with a per-plan id, matched ids are collected through the same
+    broadcast/salted join machinery, and the final semi/anti is a plain
+    equi-join on the tag — one extra skinny shuffle, correct under
+    multi-res coverage, overlap, and salting."""
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            "how must be 'inner', 'left_semi' or 'left_anti'"
+        )
+    if how in ("left_semi", "left_anti"):
+        tagged = left_cells.withColumn(
+            "__rowid", F.monotonically_increasing_id()
+        )
+        matched = pip_join(
+            tagged.select("__rowid", cell_col),
+            polygons,
+            res,
+            mode=mode,
+            cell_col=cell_col,
+            broadcast_threshold_rows=broadcast_threshold_rows,
+            salt=salt,
+            how="inner",
+            coverage=coverage,
+            min_coverage_res=min_coverage_res,
+        ).select("__rowid")
+        return tagged.join(matched, "__rowid", how).drop("__rowid")
     if coverage is None:
         cov = polyfill_polygons(polygons, res, mode, compact=True)
         cov = cov.withColumnRenamed("cell", "__poly_cell")

@@ -167,6 +167,58 @@ class TestNonBroadcastBranches:
         )
         assert got == want and got
 
+    def test_pip_join_semi_anti_partition(self, spark):
+        """Round-5 regression: semi/anti must PARTITION the left rows
+        exactly (semi distinct == inner distinct, anti == complement,
+        no duplicated rows) — the pre-fix anti rode the prefix explode
+        and returned every point once per non-matching coverage level,
+        including matched points.  Salted path must agree."""
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        pts = spark.range(4000).select(
+            F.col("id"),
+            H.coordinates_to_cells(
+                (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0
+                 - 85.0),
+                (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0
+                 - 180.0),
+                F.lit(8),
+            ).alias("cell"),
+        )
+        polys = synth_polygons(spark, 8, seed=3)
+        inner_ids = {
+            r["id"]
+            for r in pip_join(pts, polys, res=8).select("id").collect()
+        }
+        semi = [
+            r["id"]
+            for r in pip_join(pts, polys, res=8, how="left_semi")
+            .select("id")
+            .collect()
+        ]
+        anti = [
+            r["id"]
+            for r in pip_join(pts, polys, res=8, how="left_anti")
+            .select("id")
+            .collect()
+        ]
+        assert sorted(semi) == sorted(inner_ids)  # no dup, no loss
+        assert len(anti) == 4000 - len(inner_ids)
+        assert set(anti).isdisjoint(inner_ids)
+        anti_salted = [
+            r["id"]
+            for r in pip_join(
+                pts, polys, res=8, how="left_anti",
+                broadcast_threshold_rows=1, salt=4,
+            )
+            .select("id")
+            .collect()
+        ]
+        assert sorted(anti_salted) == sorted(anti)
+        with pytest.raises(ValueError, match="how"):
+            pip_join(pts, polys, res=8, how="full_outer")
+
     def test_pip_join_plain_shuffle_branch(self, spark):
         """Threshold exceeded WITHOUT salt: plain shuffle equi-join on
         the prefix, same rows as the broadcast path."""
