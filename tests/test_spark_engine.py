@@ -337,6 +337,48 @@ class TestHull:
             spark_cells_concave_hull(df, max_points=10)
 
 
+class TestGridDiskAggregateMax:
+    def test_max_and_min_match_driver_oracle(self, spark):
+        """Round-5: agg='max' had no executing caller anywhere (the
+        contract query uses 'min').  Oracle: driver-side max/min of k
+        over each cell's exploded disk."""
+        import numpy as np
+
+        from h3ronpy_spark.h3core import grid as G
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.operators.spatial_join import (
+            grid_disk_aggregate_k,
+        )
+
+        cells = LL.latlng_to_cell(
+            np.radians([43.1, 43.13, 47.6]),
+            np.radians([7.2, 7.21, 11.0]),
+            7,
+        )
+        df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
+        want_min: dict = {}
+        want_max: dict = {}
+        _, disk, dist = G.grid_disk_distances(cells, 2)
+        for cc, k in zip(disk.ravel(), dist.ravel()):
+            if cc == -1:
+                continue
+            cc = int(cc)
+            want_min[cc] = min(want_min.get(cc, 99), int(k))
+            want_max[cc] = max(want_max.get(cc, -1), int(k))
+        got_min = {
+            r["cell"]: r["k"]
+            for r in grid_disk_aggregate_k(df, 2, "min").collect()
+        }
+        got_max = {
+            r["cell"]: r["k"]
+            for r in grid_disk_aggregate_k(df, 2, "max").collect()
+        }
+        assert got_min == want_min
+        assert got_max == want_max
+        with pytest.raises(ValueError, match="min or max"):
+            grid_disk_aggregate_k(df, 2, "avg")
+
+
 class TestCompactMixed:
     def test_mixed_res_no_promotion_at_finest(self, spark):
         # 7 complete res-5 siblings + one unrelated res-9 cell: the res-9
