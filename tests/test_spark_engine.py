@@ -337,6 +337,79 @@ class TestHull:
             spark_cells_concave_hull(df, max_points=10)
 
 
+class TestUnexecutedBranches:
+    """Round-5 sweep: parameter branches no other test or contract query
+    executes."""
+
+    def test_resize_nearest_matches_numpy_oracle(self, spark):
+        import numpy as np
+
+        from h3ronpy_spark.operators.multimodal import resize_images
+        from h3ronpy_spark.sources.images import gen_images_pdf, synth_images
+
+        out = {
+            r["image_id"]: (r["bytes"], r["w"], r["h"])
+            for r in resize_images(
+                synth_images(spark, 12, seed=5, partitions=2), 8, 6,
+                method="nearest",
+            ).collect()
+        }
+        pdf = gen_images_pdf(np.arange(12, dtype=np.int64), 5)
+        for r in pdf.itertuples(index=False):
+            band = np.frombuffer(r.bytes, np.uint8).reshape(r.h, r.w)
+            ri = (np.arange(6) * r.h // 6).astype(int)
+            ci = (np.arange(8) * r.w // 8).astype(int)
+            want = band[np.ix_(ri, ci)]
+            got, w, h = out[r.image_id]
+            assert (w, h) == (8, 6)
+            assert np.frombuffer(got, np.uint8).reshape(6, 8).tolist() == \
+                want.tolist(), r.image_id
+
+    def test_tile_images_bigint_value_type(self, spark):
+        from h3ronpy_spark.operators.tiling import tile_images
+        from h3ronpy_spark.sources.images import synth_images_typed
+
+        imgs = synth_images_typed(spark, 20, fmt="raw_u32", seed=3,
+                                  partitions=2)
+        t_big = sorted(
+            map(tuple, tile_images(imgs, res=11, value_type="bigint")
+                .collect())
+        )
+        t_dbl = sorted(
+            map(
+                tuple,
+                tile_images(imgs, res=11, value_type="double")
+                .selectExpr(
+                    "image_id", "cell", "cast(px_value as long) px_value",
+                    "caption",
+                )
+                .collect(),
+            )
+        )
+        assert t_big == t_dbl and t_big
+        with pytest.raises(ValueError, match="value_type"):
+            tile_images(imgs, res=11, value_type="float")
+
+    def test_compact_no_persist_branch(self, spark):
+        import numpy as np
+
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import latlng as LL
+        from h3ronpy_spark.operators.compact import compact_cells
+
+        h4 = LL.latlng_to_cell(
+            np.radians([45.5, -12.0]), np.radians([10.2, 66.0]), 4
+        )
+        _, kids = IDX.cell_to_children_flat(h4, 6)
+        df = spark.createDataFrame([(int(c),) for c in kids], "cell long")
+        a = sorted(
+            r["cell"]
+            for r in compact_cells(df, persist_intermediate=False).collect()
+        )
+        b = sorted(r["cell"] for r in compact_cells(df).collect())
+        assert a == b == sorted(int(c) for c in h4)
+
+
 class TestGridDiskAggregateMax:
     def test_max_and_min_match_driver_oracle(self, spark):
         """Round-5: agg='max' had no executing caller anywhere (the
