@@ -74,6 +74,30 @@ def run_available_now(df: DataFrame, checkpoint_dir: str):
     return q
 
 
+def merge_gap_intervals(
+    ivals: list[list[int]], ts_us, gap_us: int
+) -> list[list[int]]:
+    """The sessionizer's state transition, as a pure function: existing
+    [start, last, n] intervals + new event timestamps (µs) -> merged
+    interval list under the gap rule.  Each interval covers a point set
+    whose internal gaps are <= gap_us (invariant held by induction), so
+    folding events in ANY batch order converges to the same partition a
+    batch gap-split of the fully sorted log produces — the property the
+    hypothesis test pins over random permutations."""
+    pieces = sorted(
+        [list(p) for p in ivals] + [[int(t), int(t), 1] for t in ts_us],
+        key=lambda p: (p[0], p[1]),
+    )
+    merged: list[list[int]] = []
+    for p in pieces:
+        if merged and p[0] - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], p[1])
+            merged[-1][2] += p[2]
+        else:
+            merged.append(p)
+    return merged
+
+
 def stream_user_sessions(
     spark: SparkSession,
     input_dir: str,
@@ -163,19 +187,8 @@ def stream_user_sessions(
             _np.concatenate(all_ts) if all_ts else _np.array([], dtype="int64")
         )
         # merge sweep: existing intervals + each new event as a point
-        # interval, ordered by start; adjacent pieces closer than the gap
-        # coalesce (a single late point can bridge two existing sessions)
-        pieces = sorted(
-            ivals + [[int(t), int(t), 1] for t in ts_us],
-            key=lambda p: (p[0], p[1]),
-        )
-        merged: list[list[int]] = []
-        for p in pieces:
-            if merged and p[0] - merged[-1][1] <= gap_us:
-                merged[-1][1] = max(merged[-1][1], p[1])
-                merged[-1][2] += p[2]
-            else:
-                merged.append(list(p))
+        # interval (a single late point can bridge two existing sessions)
+        merged = merge_gap_intervals(ivals, ts_us, gap_us)
         rev = int(rev) + 1
         state.update(
             (
