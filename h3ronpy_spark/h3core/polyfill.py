@@ -118,11 +118,50 @@ def _seg_intersect_pairs(a0, a1, b0, b1) -> np.ndarray:
     return (s1 * s2 < 0) & (s3 * s4 < 0)
 
 
-def _candidate_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
+def _normalize_transmeridian(
+    rings: list[np.ndarray],
+) -> tuple[list[np.ndarray], bool]:
+    """libh3-convention antimeridian handling (h3lib bbox.c/polygon.c;
+    the reference's h3o polyfill inherits it): a loop with any edge
+    spanning more than 180° of longitude is interpreted as CROSSING the
+    antimeridian, not as wrapping the long way around the globe.  Shift
+    negative longitudes +360 so the loop is contiguous in the working
+    plane; downstream cell coordinates get the same shift (round-5 fix —
+    a 1°-wide polygon at ±180 used to fill as its 359° complement)."""
+    trans = any(
+        np.abs(np.diff(r[:, 0])).max(initial=0.0) > 180.0 for r in rings
+    ) or any(
+        # lng > 180 present: the input is ALREADY in the shifted plane
+        # (polygon_to_cells normalizes before routing to the compact
+        # variant) — keep the flag without re-shifting
+        r[:, 0].max(initial=-180.0) > 180.0
+        for r in rings
+    )
+    if not trans:
+        return rings, False
+    out = []
+    for r in rings:
+        r = r.copy()
+        r[r[:, 0] < 0.0, 0] += 360.0
+        out.append(r)
+    return out, True
+
+
+def _shift_lng(lng_deg: np.ndarray, shifted: bool) -> np.ndarray:
+    """Map real longitudes into the transmeridian working plane."""
+    if not shifted:
+        return lng_deg
+    return np.where(lng_deg < 0.0, lng_deg + 360.0, lng_deg)
+
+
+def _candidate_cells(
+    rings: list[np.ndarray], res: int, shifted: bool = False
+) -> np.ndarray:
     """Cells plausibly touching the polygon: dense sample grid over the
     bbox dilated by one cell size (spacing ~1/3 cell => every cell whose
     centroid lies in the dilated bbox is sampled — no neighbor dilation
-    pass needed)."""
+    pass needed).  With `shifted`, ring coords live in the transmeridian
+    plane (lng in (0, 360]); samples are mapped back before encoding."""
     allv = np.vstack(rings)
     minx, miny = allv.min(axis=0)
     maxx, maxy = allv.max(axis=0)
@@ -137,24 +176,38 @@ def _candidate_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
     gx = np.linspace(minx, maxx, nx)
     gy = np.linspace(miny, np.minimum(maxy, 89.999), ny)
     mx, my = np.meshgrid(gx, gy)
+    sample_lng = mx.ravel()
+    if shifted:
+        sample_lng = np.where(
+            sample_lng > 180.0, sample_lng - 360.0, sample_lng
+        )
     cells = latlng_to_cell(
-        np.radians(my.ravel()), np.radians(mx.ravel()), res
+        np.radians(my.ravel()), np.radians(sample_lng), res
     )
     return np.unique(cells[cells != -1])
 
 
-def _classify_cells(cand: np.ndarray, rings: list[np.ndarray], res: int):
+def _classify_cells(
+    cand: np.ndarray,
+    rings: list[np.ndarray],
+    res: int,
+    shifted: bool = False,
+):
     """Per-candidate geometry predicates vs the polygon.
 
     Returns (cen_in, full, intersects): centroid-inside; fully-inside
     (all boundary verts in, no edge crossing, no polygon vertex inside the
     cell — the last also handles holes/islands smaller than a cell);
-    any-overlap."""
+    any-overlap.  With `shifted`, rings live in the transmeridian plane
+    and cell coordinates are shifted to match."""
     clat, clng = cell_to_latlng(cand)
-    cen_in = _pip(np.degrees(clng), np.degrees(clat), rings)
+    cen_in = _pip(
+        _shift_lng(np.degrees(clng), shifted), np.degrees(clat), rings
+    )
 
     blat, blng, counts = cell_boundary(cand)
-    blatd, blngd = np.degrees(blat), np.degrees(blng)
+    blatd = np.degrees(blat)
+    blngd = _shift_lng(np.degrees(blng), shifted)
     n = cand.size
     flat = blngd.ravel()
     flaty = blatd.ravel()
@@ -204,7 +257,10 @@ def _classify_cells(cand: np.ndarray, rings: list[np.ndarray], res: int):
         np.logical_or.at(crossed, erows[pi], hits)
 
     vx = np.vstack(rings)
-    vcells = latlng_to_cell(np.radians(vx[:, 1]), np.radians(vx[:, 0]), res)
+    vlng = vx[:, 0]
+    if shifted:  # back to real longitudes for encoding
+        vlng = np.where(vlng > 180.0, vlng - 360.0, vlng)
+    vcells = latlng_to_cell(np.radians(vx[:, 1]), np.radians(vlng), res)
     has_vert = np.isin(cand, vcells[vcells != -1])
 
     full = cen_in & all_in & ~crossed & ~has_vert
@@ -239,6 +295,7 @@ def polygon_to_cells(
     if mode not in _MODES:
         raise ValueError(f"unknown containment mode {mode!r}")
     rings = _close_rings(rings)
+    rings, shifted = _normalize_transmeridian(rings)
     if _est_cells(rings, res) > _DIRECT_BUDGET:
         comp = polygon_to_cells_compact(rings, res, mode)
         if comp.size and IDX.children_count(comp, res).sum() > 50_000_000:
@@ -248,10 +305,10 @@ def polygon_to_cells(
         _, cells = IDX.uncompact(comp, res)
         return np.sort(cells)
 
-    cand = _candidate_cells(rings, res)
+    cand = _candidate_cells(rings, res, shifted)
     if cand.size == 0:
         return cand
-    cen_in, full, intersects = _classify_cells(cand, rings, res)
+    cen_in, full, intersects = _classify_cells(cand, rings, res, shifted)
     if mode == MODE_CENTROID:
         return np.sort(cand[cen_in])
     if mode == MODE_CONTAINS:
@@ -274,14 +331,15 @@ def polygon_to_cells_compact(
     res 9+ tractable (SURVEY.md §4.2 item 3)."""
     mode = mode.lower().replace("_", "")
     rings = _close_rings(rings)
+    rings, shifted = _normalize_transmeridian(rings)
     r0 = res
     while r0 > 0 and _est_cells(rings, r0) > budget:
         r0 -= 1
-    cand = _candidate_cells(rings, r0)
+    cand = _candidate_cells(rings, r0, shifted)
     if cand.size == 0:
         return cand
     out_full = []
-    cen_in, full, inter = _classify_cells(cand, rings, r0)
+    cen_in, full, inter = _classify_cells(cand, rings, r0, shifted)
     if r0 == res:
         if mode == MODE_CENTROID:
             return np.sort(cand[cen_in])
@@ -294,7 +352,7 @@ def polygon_to_cells_compact(
         if partial.size == 0:
             break
         _, kids = IDX.cell_to_children_flat(partial, r)
-        cen_in, full, inter = _classify_cells(kids, rings, r)
+        cen_in, full, inter = _classify_cells(kids, rings, r, shifted)
         if r == res:
             if mode == MODE_CENTROID:
                 out_full.append(kids[cen_in])
@@ -311,15 +369,24 @@ def polygon_to_cells_compact(
 
 
 def line_to_cells(coords: np.ndarray, res: int) -> np.ndarray:
-    """LineString trace: dense sampling at ~1/4 cell spacing."""
+    """LineString trace: dense sampling at ~1/4 cell spacing.  A segment
+    spanning >180° of longitude crosses the antimeridian (same libh3
+    convention as the polygon fill, round-5): interpolate on the shifted
+    plane, not the long way around."""
     cells = []
     step = _EDGE_DEG[res] * 0.25
     for i in range(len(coords) - 1):
-        p0, p1 = coords[i], coords[i + 1]
+        p0, p1 = np.array(coords[i], float), np.array(coords[i + 1], float)
+        if abs(p1[0] - p0[0]) > 180.0:
+            if p0[0] < 0.0:
+                p0 = p0 + [360.0, 0.0]
+            if p1[0] < 0.0:
+                p1 = p1 + [360.0, 0.0]
         d = float(np.hypot(*(p1 - p0)))
         k = max(int(d / step) + 1, 2)
         t = np.linspace(0.0, 1.0, k)
         xs = p0[0] + t * (p1[0] - p0[0])
+        xs = np.where(xs > 180.0, xs - 360.0, xs)
         ys = p0[1] + t * (p1[1] - p0[1])
         cells.append(latlng_to_cell(np.radians(ys), np.radians(xs), res))
     if not cells:

@@ -234,3 +234,74 @@ class TestDissolve:
             np.radians([45.5, -10.0]), np.radians([10.2, 100.0]), 6
         )
         assert len(dissolve_cells(c)) == 2
+
+
+class TestTransmeridian:
+    """Round-5 fix: libh3-convention antimeridian handling — a loop with
+    an edge spanning >180° of longitude CROSSES the antimeridian (the
+    pre-fix planar fill returned the 359° complement: 17,436 cells for a
+    1°-wide strip at ±180)."""
+
+    RING = np.array(
+        [[179.5, 10.0], [-179.5, 10.0], [-179.5, 11.0],
+         [179.5, 11.0], [179.5, 10.0]]
+    )
+
+    def test_polygon_fill_stays_on_the_seam(self):
+        from h3ronpy_spark.h3core import polyfill as P
+        from h3ronpy_spark.h3core.latlng import cell_to_latlng
+
+        cells = P.polygon_to_cells([self.RING], 5)
+        # comparable to a same-size polygon away from the seam, not 17k
+        ref = P.polygon_to_cells(
+            [np.array([[10.0, 10.0], [11.0, 10.0], [11.0, 11.0],
+                       [10.0, 11.0], [10.0, 10.0]])], 5
+        )
+        assert 0 < cells.size < 3 * ref.size
+        lat, lng = cell_to_latlng(cells)
+        latd, lngd = np.degrees(lat), np.degrees(lng)
+        assert ((latd >= 10) & (latd <= 11)).all()
+        assert ((lngd >= 179.5) | (lngd <= -179.5)).all()
+
+    def test_compact_variant_matches_direct(self):
+        from h3ronpy_spark.h3core import index as IDX
+        from h3ronpy_spark.h3core import polyfill as P
+
+        direct = P.polygon_to_cells([self.RING], 5)
+        _, unc = IDX.uncompact(P.polygon_to_cells_compact([self.RING], 5), 5)
+        assert sorted(unc.tolist()) == sorted(direct.tolist())
+
+    def test_all_modes_nest(self):
+        from h3ronpy_spark.h3core import polyfill as P
+
+        cen = set(P.polygon_to_cells([self.RING], 5).tolist())
+        full = set(
+            P.polygon_to_cells([self.RING], 5, "containsboundary").tolist()
+        )
+        inter = set(
+            P.polygon_to_cells([self.RING], 5, "intersectsboundary").tolist()
+        )
+        assert full <= cen <= inter
+
+    def test_line_crossing_seam(self):
+        from h3ronpy_spark.h3core import polyfill as P
+        from h3ronpy_spark.h3core.latlng import cell_to_latlng
+
+        lc = P.line_to_cells(np.array([[179.7, 10.0], [-179.7, 10.2]]), 5)
+        _, lng = cell_to_latlng(lc)
+        lngd = np.degrees(lng)
+        assert lc.size and ((lngd > 179) | (lngd < -179)).all()
+
+    def test_non_transmeridian_unchanged(self):
+        """The gate must not perturb normal polygons: a polygon touching
+        (but not crossing) lng 180 on one side."""
+        from h3ronpy_spark.h3core import polyfill as P
+
+        ring = np.array(
+            [[178.5, 10.0], [179.9, 10.0], [179.9, 11.0],
+             [178.5, 11.0], [178.5, 10.0]]
+        )
+        a = P.polygon_to_cells([ring], 5)
+        from h3ronpy_spark.h3core.polyfill import _normalize_transmeridian
+        _, shifted = _normalize_transmeridian([ring])
+        assert not shifted and a.size > 0
