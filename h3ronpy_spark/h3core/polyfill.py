@@ -195,11 +195,15 @@ def _classify_cells(
 ):
     """Per-candidate geometry predicates vs the polygon.
 
-    Returns (cen_in, full, intersects): centroid-inside; fully-inside
-    (all boundary verts in, no edge crossing, no polygon vertex inside the
-    cell — the last also handles holes/islands smaller than a cell);
-    any-overlap.  With `shifted`, rings live in the transmeridian plane
-    and cell coordinates are shifted to match."""
+    Returns (cen_in, full, intersects, covers): centroid-inside;
+    fully-inside (all boundary verts in, no edge crossing, no polygon
+    vertex inside the cell — the last also handles holes/islands smaller
+    than a cell); boundary-overlap; and covers = intersects PLUS cells
+    that contain the whole (sub-cell) geometry without touching its
+    boundary — the reference's ContainmentMode::Covers distinction
+    (h3ronpy/src/vector.rs:59-60; round-5 split, previously both modes
+    returned the covers set).  With `shifted`, rings live in the
+    transmeridian plane and cell coordinates are shifted to match."""
     clat, clng = cell_to_latlng(cand)
     cen_in = _pip(
         _shift_lng(np.degrees(clng), shifted), np.degrees(clat), rings
@@ -264,8 +268,13 @@ def _classify_cells(
     has_vert = np.isin(cand, vcells[vcells != -1])
 
     full = cen_in & all_in & ~crossed & ~has_vert
-    intersects = cen_in | any_in | crossed | has_vert
-    return cen_in, full, intersects
+    # a polygon vertex inside the cell with no boundary crossing and no
+    # cell vertex inside the polygon = geometry strictly inside the cell
+    # (or a degenerate touch): IntersectsBoundary excludes it, Covers
+    # returns the covering cell (reference semantics)
+    intersects = cen_in | any_in | crossed
+    covers = intersects | has_vert
+    return cen_in, full, intersects, covers
 
 
 def _close_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
@@ -308,12 +317,16 @@ def polygon_to_cells(
     cand = _candidate_cells(rings, res, shifted)
     if cand.size == 0:
         return cand
-    cen_in, full, intersects = _classify_cells(cand, rings, res, shifted)
+    cen_in, full, intersects, covers = _classify_cells(
+        cand, rings, res, shifted
+    )
     if mode == MODE_CENTROID:
         return np.sort(cand[cen_in])
     if mode == MODE_CONTAINS:
         return np.sort(cand[full])
-    return np.sort(cand[intersects])
+    if mode == MODE_INTERSECTS:
+        return np.sort(cand[intersects])
+    return np.sort(cand[covers])
 
 
 def polygon_to_cells_compact(
@@ -339,31 +352,40 @@ def polygon_to_cells_compact(
     if cand.size == 0:
         return cand
     out_full = []
-    cen_in, full, inter = _classify_cells(cand, rings, r0, shifted)
+    cen_in, full, inter, covers = _classify_cells(cand, rings, r0, shifted)
     if r0 == res:
         if mode == MODE_CENTROID:
             return np.sort(cand[cen_in])
         if mode == MODE_CONTAINS:
             return np.sort(cand[full])
-        return np.sort(cand[inter])
+        if mode == MODE_INTERSECTS:
+            return np.sort(cand[inter])
+        return np.sort(cand[covers])
     out_full.append(cand[full])
-    partial = cand[inter & ~full]
+    # descend through COVERS (not intersects): a coarse cell strictly
+    # containing the whole polygon has no boundary overlap at all and
+    # would otherwise terminate the refinement with an empty result
+    partial = cand[covers & ~full]
     for r in range(r0 + 1, res + 1):
         if partial.size == 0:
             break
         _, kids = IDX.cell_to_children_flat(partial, r)
-        cen_in, full, inter = _classify_cells(kids, rings, r, shifted)
+        cen_in, full, inter, covers = _classify_cells(
+            kids, rings, r, shifted
+        )
         if r == res:
             if mode == MODE_CENTROID:
                 out_full.append(kids[cen_in])
             elif mode == MODE_CONTAINS:
                 out_full.append(kids[full])
-            else:
+            elif mode == MODE_INTERSECTS:
                 out_full.append(kids[inter])
+            else:
+                out_full.append(kids[covers])
             partial = kids[:0]
         else:
             out_full.append(kids[full])
-            partial = kids[inter & ~full]
+            partial = kids[covers & ~full]
     cells = np.concatenate(out_full) if out_full else cand[:0]
     return IDX.compact(np.unique(cells))
 

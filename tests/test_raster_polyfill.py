@@ -305,3 +305,59 @@ class TestTransmeridian:
         from h3ronpy_spark.h3core.polyfill import _normalize_transmeridian
         _, shifted = _normalize_transmeridian([ring])
         assert not shifted and a.size > 0
+
+
+class TestCoversMode:
+    """Round-5: ContainmentMode::Covers vs IntersectsBoundary split
+    (h3ronpy/src/vector.rs:59-60).  A geometry strictly inside one cell
+    without touching its boundary is returned ONLY by covers; the
+    compact refinement must also descend through covers, else a coarse
+    cell containing the whole polygon terminates the descent empty."""
+
+    def _sub_cell_triangle(self):
+        from h3ronpy_spark.h3core.latlng import cell_to_latlng, latlng_to_cell
+
+        c = latlng_to_cell(np.radians([43.6]), np.radians([7.1]), 5)
+        lat, lng = cell_to_latlng(c)
+        la, lo = np.degrees(lat)[0] + 0.01, np.degrees(lng)[0] + 0.01
+        tri = np.array(
+            [[lo, la], [lo + 1e-4, la], [lo + 5e-5, la + 1e-4], [lo, la]]
+        )
+        return tri, int(c[0])
+
+    def test_only_covers_returns_covering_cell(self):
+        from h3ronpy_spark.h3core import polyfill as P
+
+        tri, cell = self._sub_cell_triangle()
+        assert P.polygon_to_cells([tri], 5, "containscentroid").size == 0
+        assert P.polygon_to_cells([tri], 5, "containsboundary").size == 0
+        assert P.polygon_to_cells([tri], 5, "intersectsboundary").size == 0
+        assert P.polygon_to_cells([tri], 5, "covers").tolist() == [cell]
+
+    def test_compact_descends_through_covering_cells(self):
+        from h3ronpy_spark.h3core import polyfill as P
+
+        tri, _ = self._sub_cell_triangle()
+        # the res-9 covering cell is found through 4 levels of coarse
+        # cells that each strictly contain the triangle
+        assert P.polygon_to_cells_compact([tri], 9, "covers").size == 1
+        assert (
+            P.polygon_to_cells_compact([tri], 9, "intersectsboundary").size
+            == 0
+        )
+
+    def test_modes_nest_on_large_polygon(self):
+        from h3ronpy_spark.h3core import polyfill as P
+
+        ring = np.array(
+            [[7.0, 43.0], [7.4, 43.0], [7.4, 43.3], [7.0, 43.3], [7.0, 43.0]]
+        )
+        full = set(P.polygon_to_cells([ring], 6, "containsboundary").tolist())
+        cen = set(P.polygon_to_cells([ring], 6).tolist())
+        inter = set(
+            P.polygon_to_cells([ring], 6, "intersectsboundary").tolist()
+        )
+        cov = set(P.polygon_to_cells([ring], 6, "covers").tolist())
+        assert full <= cen <= inter <= cov
+        # larger-than-cell polygon: covers adds nothing over intersects
+        assert cov == inter
