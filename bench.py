@@ -39,8 +39,11 @@ SECTIONS = set(
     os.environ.get("BENCH_ONLY", "scaling,flagship,headline").split(",")
 )
 # wall-clock budget (seconds) each calibrated section may spend hunting for
-# a quiet window before settling for steal-normalized reporting
-REP_BUDGET = float(os.environ.get("BENCH_REP_BUDGET", "300"))
+# a quiet window before settling for steal-normalized reporting (raised
+# 300 -> 420 in round 5: co-tenant windows were observed to stay noisy
+# for several minutes at a stretch, and the extra two minutes of hunting
+# is what turns a "normalized-only" capture into a certified-quiet one)
+REP_BUDGET = float(os.environ.get("BENCH_REP_BUDGET", "420"))
 
 # ---------------------------------------------------------------------------
 # co-tenant steal calibration
