@@ -612,6 +612,64 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 16,
+    planes_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: random-hyperplane LSH
+    bucketing (any shared band key -> candidate) verified with the exact
+    JVM-side cosine.  Returns (id_a, id_b, cos_sim) with cos_sim >=
+    threshold.
+
+    Same 100-TB shape as the other pair families: banded equi-join
+    (never an all-pairs product), hot-(band, key) sub-split guard,
+    one-exchange self-join, and verify-BEFORE-dedup so the cross-band
+    dropDuplicates shuffles only surviving skinny pairs, never the
+    candidate explosion with two float vectors attached.  Recall: a
+    pair at cosine c shares a band key with probability
+    1 - (1 - p^planes)^bands where p = 1 - arccos(c)/pi; the defaults
+    (16 bands x 4 planes) give > 0.998 for c >= 0.9.  Completes the
+    dedup family list (docstring above) the training-data brief names:
+    exact / minhash / simhash / ngram / embedding-cosine."""
+    from .similarity import cosine, lsh_band_keys
+
+    keys = lsh_band_keys(n_bands, planes_per_band)
+    emb_b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
+    )
+    emb_b = _subsplit_hot_buckets(emb_b, ["band", "key"], max_bucket=max_bucket)
+    emb_b = emb_b.repartition("band", "key", "__sub")
+    a = emb_b.alias("a")
+    b = emb_b.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.__sub") == F.col("b.__sub"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+    )
+    return (
+        cand.filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram jaccard (SQL-expressible for the oracle)
 # ---------------------------------------------------------------------------
 

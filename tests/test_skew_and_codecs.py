@@ -706,3 +706,70 @@ class TestWinnowing:
             )
         )
         assert a == b
+
+
+class TestEmbeddingCosinePairs:
+    def test_matches_brute_force_oracle(self, spark):
+        """Round-5: the embedding-cosine near-dup family (named in the
+        dedup module docstring, previously unimplemented).  Oracle:
+        driver-side all-pairs cosine.  Seeded near-dup clusters (tiny
+        perturbations, cosine ~1) must ALL be found; the LSH candidate
+        set may legitimately miss weak pairs near the threshold, so the
+        test also checks found pairs carry exact cosines."""
+        rng = np.random.default_rng(21)
+        dim = 32
+        rows = []
+        for c in range(6):
+            base = rng.normal(size=dim)
+            for k in range(4):
+                v = base + 1e-4 * rng.normal(size=dim)
+                rows.append((c * 100 + k, v.tolist()))
+        for i in range(60):  # background
+            rows.append((1000 + i, rng.normal(size=dim).tolist()))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from h3ronpy_spark.operators.dedup import embedding_cosine_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_cosine_pairs(emb, threshold=0.99).collect()
+        }
+        # oracle
+        import itertools
+
+        vecs = {i: np.array(v) for i, v in rows}
+
+        def cos(a, b):
+            return float(
+                np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+            )
+
+        want = {
+            (i, j)
+            for i, j in itertools.combinations(sorted(vecs), 2)
+            if cos(vecs[i], vecs[j]) >= 0.99
+        }
+        # every in-cluster pair (cosine ~1.0) found
+        cluster_pairs = {
+            (c * 100 + a, c * 100 + b)
+            for c in range(6)
+            for a in range(4)
+            for b in range(a + 1, 4)
+        }
+        assert cluster_pairs <= set(got)
+        assert set(got) <= want  # no false positives
+        for (i, j), cs in got.items():
+            assert abs(cs - cos(vecs[i], vecs[j])) < 1e-5
+
+    def test_degenerate_bucket_bounded(self, spark):
+        """All-identical vectors: guard bounds the candidate volume;
+        retained pairs still carry the exact cosine (1.0)."""
+        emb = spark.range(3000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(1.0) for _ in range(8)]).alias("embedding"),
+        )
+        from h3ronpy_spark.operators.dedup import embedding_cosine_pairs
+
+        pairs = embedding_cosine_pairs(emb, threshold=0.9, max_bucket=100)
+        n = pairs.count()
+        assert n > 0
+        assert pairs.filter(F.col("cos_sim") < 1.0).count() == 0
