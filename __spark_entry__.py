@@ -339,10 +339,40 @@ def _q_fingerprint(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
-    from h3ronpy_spark.operators.dedup import ngram_jaccard_pairs
+    """n-gram jaccard pairs + the embedding-cosine near-dup gate folded
+    in as a constant column (round-5: driver captures at most 50
+    queries, same fold pattern as events_json's stream parity).  Six
+    deterministic sinusoid clusters of 4 near-identical vectors each
+    (intra-cluster cosine ~1-1e-10, max cross-cluster cosine cos(0.7)
+    ~= 0.76): embedding_cosine_pairs(threshold=0.99) must find EXACTLY
+    the 6*C(4,2) = 36 intra-cluster pairs, which the DuckDB oracle
+    states as the literal 36 — any LSH recall loss or false positive
+    breaks the value hash."""
+    from h3ronpy_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    base = spark.range(24).select(
+        F.col("id"),
+        (F.col("id") / 4).cast("int").alias("c"),
+        (F.col("id") % 4).cast("int").alias("k"),
+    )
+    vec = F.array(
+        *[
+            F.sin(0.7 * F.col("c") + F.lit(1.3 * dd))
+            + F.lit(1e-5)
+            * F.sin(F.col("c") * 31 + F.col("k") * 7 + F.lit(3.0 * dd))
+            for dd in range(32)
+        ]
+    )
+    emb = base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    gate = embedding_cosine_pairs(emb, threshold=0.99).agg(
+        F.count("*").cast("int").alias("emb_cos_gate")
+    )
+    return pairs.crossJoin(gate)
 
 
 def _q_minhash_pairs(spark, sf):
@@ -1589,7 +1619,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id)
             SELECT id_a, id_b,
-                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard,
+                   36 AS emb_cos_gate
             FROM inter
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
