@@ -15,3 +15,8 @@ for _v in (
     _os.environ.setdefault(_v, "1")
 _os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
 _os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "134217728")
+
+# reference parity: `from h3ronpy import ContainmentMode` call sites port
+# as `from h3ronpy_spark import ContainmentMode`
+# (h3ronpy/python/h3ronpy/__init__.py:15)
+from .h3core.polyfill import ContainmentMode  # noqa: E402,F401

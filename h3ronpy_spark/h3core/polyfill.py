@@ -23,6 +23,8 @@ candidates.
 
 from __future__ import annotations
 
+import enum
+
 import numpy as np
 
 from . import index as IDX
@@ -36,6 +38,34 @@ MODE_INTERSECTS = "intersectsboundary"
 MODE_COVERS = "covers"
 
 _MODES = {MODE_CENTROID, MODE_CONTAINS, MODE_INTERSECTS, MODE_COVERS}
+
+
+class ContainmentMode(enum.IntEnum):
+    """The reference's ContainmentMode enum (h3ronpy/src/vector.rs:62-69,
+    pyclass eq_int) so `ContainmentMode.ContainsCentroid`-style call
+    sites port verbatim; every mode parameter also keeps accepting the
+    string forms."""
+
+    ContainsCentroid = 0
+    ContainsBoundary = 1
+    IntersectsBoundary = 2
+    Covers = 3
+
+
+_ENUM_TO_MODE = {
+    ContainmentMode.ContainsCentroid: MODE_CENTROID,
+    ContainmentMode.ContainsBoundary: MODE_CONTAINS,
+    ContainmentMode.IntersectsBoundary: MODE_INTERSECTS,
+    ContainmentMode.Covers: MODE_COVERS,
+}
+
+
+def coerce_containment_mode(mode) -> str:
+    """Accept a ContainmentMode member, its name, or the lowercase
+    string form; return the internal string."""
+    if isinstance(mode, ContainmentMode):
+        return _ENUM_TO_MODE[mode]
+    return str(mode).lower().replace("_", "")
 
 # average hexagon edge length (degrees of arc) per res, derived from the
 # grid itself: res-0 lattice unit is atan(RES0_U_GNOMONIC*...) ~ spacing /
@@ -300,7 +330,7 @@ def polygon_to_cells(
     """One polygon (list of (N,2) lnglat rings, first outer) -> sorted cells
     at `res`.  Large polygons route through the hierarchical compact fill
     and are uncompacted (guarded)."""
-    mode = mode.lower().replace("_", "")
+    mode = coerce_containment_mode(mode)
     if mode not in _MODES:
         raise ValueError(f"unknown containment mode {mode!r}")
     rings = _close_rings(rings)
@@ -342,7 +372,7 @@ def polygon_to_cells_compact(
     per containment mode.  Cost scales with the polygon *perimeter* at
     `res`, not its area — the property that keeps country-size polygons at
     res 9+ tractable (SURVEY.md §4.2 item 3)."""
-    mode = mode.lower().replace("_", "")
+    mode = coerce_containment_mode(mode)
     rings = _close_rings(rings)
     rings, shifted = _normalize_transmeridian(rings)
     r0 = res

@@ -87,3 +87,29 @@ class TestAreaTrio:
         m2 = A.cells_area_m2(c)[0]
         assert abs(km2 - r2 * 6371.007180918475**2) / km2 < 1e-12
         assert abs(m2 - km2 * 1e6) / m2 < 1e-12
+
+
+class TestContainmentModeEnum:
+    def test_enum_parity_and_coercion(self):
+        """Reference exports a ContainmentMode enum
+        (h3ronpy/python/h3ronpy/__init__.py:15, src/vector.rs:62-69);
+        ours has the same members/order and every mode parameter accepts
+        member, name-string, or lowercase form interchangeably."""
+        import numpy as np
+
+        from h3ronpy_spark import ContainmentMode
+        from h3ronpy_spark.h3core.polyfill import polygon_to_cells
+
+        assert [m.name for m in ContainmentMode] == [
+            "ContainsCentroid",
+            "ContainsBoundary",
+            "IntersectsBoundary",
+            "Covers",
+        ]
+        ring = np.array(
+            [[7.0, 43.0], [7.2, 43.0], [7.2, 43.2], [7.0, 43.2], [7.0, 43.0]]
+        )
+        a = polygon_to_cells([ring], 6, ContainmentMode.IntersectsBoundary)
+        b = polygon_to_cells([ring], 6, "intersectsboundary")
+        c = polygon_to_cells([ring], 6, "Intersects_Boundary")
+        assert a.tolist() == b.tolist() == c.tolist() and a.size
