@@ -137,3 +137,341 @@ def wkb_to_geoarrow(wkb: list, name: str = "geometry"):
         metadata={b"ARROW:extension:name": b"geoarrow.wkb"},
     )
     return field, arr
+
+
+# ---------------------------------------------------------------------------
+# round-5: the remaining reference top-level eager symbols
+# (h3ronpy/python/h3ronpy/__init__.py __all__, lines 286-314) so every
+# `from h3ronpy import <fn>` call site ports with the package rename
+# only.  Arrow-shaped returns match the reference exactly (large_list /
+# RecordBatch column names pinned by the reference's own tests,
+# h3ronpy/tests/arrow/test_neighbor.py / test_localij.py).
+# ---------------------------------------------------------------------------
+
+
+def version() -> str:
+    """Engine version (reference h3ronpy/src/lib.rs:30 returns the crate
+    version; suffix marks the Spark re-implementation)."""
+    return "0.22.0+h3ronpy-spark"
+
+
+__version__ = version()
+
+
+def _pa():
+    import pyarrow as pa
+
+    return pa
+
+
+def _cells_i64(arr) -> np.ndarray:
+    a = np.asarray(arr)
+    if a.dtype == np.uint64:
+        a = a.astype(np.int64)
+    return a.astype(np.int64, copy=False).ravel()
+
+
+def cells_resolution(arr):
+    """uint8 resolution per cell (reference __init__.py:101-109)."""
+    return _pa().array(
+        _IDX.get_resolution(_cells_i64(arr)).astype(np.uint8)
+    )
+
+
+def _change_res_rows(h: np.ndarray, resolution: int):
+    """(row_idx, cells) for the resolution change; invalid inputs emit
+    no rows."""
+    valid = _IDX.is_valid_cell(h)
+    res_in = np.where(valid, _IDX.get_resolution(h), -1)
+    rows, cells = [], []
+    sel_same = valid & (res_in == resolution)
+    if sel_same.any():
+        idx = np.nonzero(sel_same)[0]
+        rows.append(idx)
+        cells.append(h[idx])
+    sel_up = valid & (res_in > resolution)
+    if sel_up.any():
+        idx = np.nonzero(sel_up)[0]
+        rows.append(idx)
+        cells.append(_IDX.cell_to_parent(h[idx], resolution))
+    sel_down = valid & (res_in < resolution)
+    if sel_down.any():
+        idx = np.nonzero(sel_down)[0]
+        r, kids = _IDX.cell_to_children_flat(h[idx], resolution)
+        rows.append(idx[r])
+        cells.append(kids)
+    if not rows:
+        return np.array([], np.int64), np.array([], np.int64)
+    rows = np.concatenate(rows)
+    cells = np.concatenate(cells)
+    order = np.argsort(rows, kind="stable")
+    return rows[order], cells[order]
+
+
+def change_resolution(arr, resolution: int):
+    """Flattened resolution change; finer targets append all children,
+    invalid/empty omitted (reference __init__.py:66-75)."""
+    _, cells = _change_res_rows(_cells_i64(arr), resolution)
+    return _pa().array(cells.astype(np.uint64))
+
+
+def change_resolution_list(arr, resolution: int):
+    """Per-input list of changed cells; invalid inputs -> null
+    (reference __init__.py:78-87)."""
+    pa = _pa()
+    h = _cells_i64(arr)
+    rows, cells = _change_res_rows(h, resolution)
+    counts = np.bincount(rows, minlength=h.size)
+    valid = _IDX.is_valid_cell(h)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    la = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        pa.array(cells.astype(np.uint64)),
+    )
+    if valid.all():
+        return la
+    # null out invalid inputs (empty list -> null, matching "preserved
+    # as such")
+    mask = pa.array(~valid)
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        pa.array(cells.astype(np.uint64)),
+        mask=mask,
+    )
+
+
+def change_resolution_paired(arr, resolution: int):
+    """RecordBatch (cell_before, cell_after) (reference
+    __init__.py:90-98)."""
+    pa = _pa()
+    h = _cells_i64(arr)
+    rows, cells = _change_res_rows(h, resolution)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(h[rows].astype(np.uint64)),
+            pa.array(cells.astype(np.uint64)),
+        ],
+        names=["cell_before", "cell_after"],
+    )
+
+
+def _parse_indexes(strings, validator, set_failing_to_invalid, kind):
+    out = np.full(len(strings), -1, dtype=np.int64)
+    for i, x in enumerate(strings):
+        if x is None:
+            continue
+        try:
+            v = int(str(x).strip(), 16)
+        except ValueError:
+            try:
+                v = int(str(x).strip(), 10)
+            except ValueError:
+                continue
+        if 0 <= v < (1 << 63):
+            out[i] = v
+    ok = validator(out)
+    if not set_failing_to_invalid and not ok.all():
+        raise ValueError(f"non-parsable {kind}")
+    out = np.where(ok, out, -1)
+    return _pa().array(
+        out.astype(np.uint64), mask=~ok
+    )
+
+
+def vertexes_parse(arr, set_failing_to_invalid: bool = False):
+    from .h3core.edges import vertexes_valid as _vv
+
+    return _parse_indexes(arr, _vv, set_failing_to_invalid, "VertexIndex")
+
+
+def directededges_parse(arr, set_failing_to_invalid: bool = False):
+    from .h3core.edges import edges_valid as _ev
+
+    return _parse_indexes(
+        arr, _ev, set_failing_to_invalid, "DirectedEdgeIndex"
+    )
+
+
+def cells_valid(arr):
+    return _pa().array(_IDX.is_valid_cell(_cells_i64(arr)))
+
+
+def vertexes_valid(arr):
+    from .h3core.edges import vertexes_valid as _vv
+
+    return _pa().array(_vv(_cells_i64(arr)))
+
+
+def directededges_valid(arr):
+    from .h3core.edges import edges_valid as _ev
+
+    return _pa().array(_ev(_cells_i64(arr)))
+
+
+def _index_strings(arr):
+    return _pa().array(
+        [None if int(v) <= 0 else f"{int(v):x}" for v in _cells_i64(arr)],
+        type=_pa().utf8(),
+    )
+
+
+def cells_to_string(cellarray):
+    return _index_strings(cellarray)
+
+
+def vertexes_to_string(vertexesarray):
+    return _index_strings(vertexesarray)
+
+
+def directededges_to_string(directededgearray):
+    return _index_strings(directededgearray)
+
+
+def _list_array(rows: np.ndarray, vals, n_rows: int, pa_type):
+    pa = _pa()
+    counts = np.bincount(rows, minlength=n_rows)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(vals, type=pa_type)
+    )
+
+
+def grid_disk(cellarray, k: int, flatten: bool = False):
+    """large_list<uint64> per cell, or flat uint64 with flatten
+    (reference __init__.py:200-201; shape pinned by
+    tests/arrow/test_neighbor.py:14-29)."""
+    from .h3core import grid as _G
+
+    pa = _pa()
+    h = _cells_i64(cellarray)
+    rows, cells = _G.grid_disk(h, k)
+    ok = cells != -1
+    rows, cells = rows[ok], cells[ok]
+    if flatten:
+        return pa.array(np.unique(cells).astype(np.uint64))
+    order = np.argsort(rows, kind="stable")
+    return _list_array(
+        rows[order], cells[order].astype(np.uint64), h.size, pa.uint64()
+    )
+
+
+def _disk_distance_batch(rows, cells, ks, n_rows, flatten):
+    pa = _pa()
+    ok = cells != -1
+    rows, cells, ks = rows[ok], cells[ok], ks[ok]
+    if flatten:
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(cells.astype(np.uint64)),
+                pa.array(ks.astype(np.uint32)),
+            ],
+            names=["cell", "k"],
+        )
+    order = np.argsort(rows, kind="stable")
+    rows, cells, ks = rows[order], cells[order], ks[order]
+    return pa.RecordBatch.from_arrays(
+        [
+            _list_array(rows, cells.astype(np.uint64), n_rows, pa.uint64()),
+            _list_array(rows, ks.astype(np.uint32), n_rows, pa.uint32()),
+        ],
+        names=["cell", "k"],
+    )
+
+
+def grid_disk_distances(cellarray, k: int, flatten: bool = False):
+    from .h3core import grid as _G
+
+    h = _cells_i64(cellarray)
+    rows, cells, ks = _G.grid_disk_distances(h, k)
+    return _disk_distance_batch(rows, cells, ks, h.size, flatten)
+
+
+def grid_ring_distances(
+    cellarray, k_min: int, k_max: int, flatten: bool = False
+):
+    from .h3core import grid as _G
+
+    h = _cells_i64(cellarray)
+    rows, cells, ks = _G.grid_disk_distances(h, k_max)
+    keep = ks >= k_min
+    return _disk_distance_batch(
+        rows[keep], cells[keep], ks[keep], h.size, flatten
+    )
+
+
+def grid_disk_aggregate_k(cellarray, k: int, aggregation_method: str):
+    """RecordBatch (cell uint64, k uint32) with min/max k per disk cell
+    (reference __init__.py:208-212)."""
+    from .h3core import grid as _G
+
+    pa = _pa()
+    if aggregation_method not in ("min", "max"):
+        raise ValueError("aggregation_method must be 'min' or 'max'")
+    h = _cells_i64(cellarray)
+    _, cells, ks = _G.grid_disk_distances(h, k)
+    ok = cells != -1
+    cells, ks = cells[ok], ks[ok]
+    order = np.lexsort((ks, cells))
+    cells, ks = cells[order], ks[order]
+    first = np.concatenate(([True], cells[1:] != cells[:-1]))
+    if aggregation_method == "min":
+        out_cells, out_k = cells[first], ks[first]
+    else:
+        # last k of each run (sorted ascending within cell)
+        last = np.concatenate((first[1:], [True]))
+        out_cells, out_k = cells[last], ks[last]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(out_cells.astype(np.uint64)),
+            pa.array(out_k.astype(np.uint32)),
+        ],
+        names=["cell", "k"],
+    )
+
+
+def cells_to_localij(cellarray, anchor, set_failing_to_invalid: bool = False):
+    """RecordBatch (anchor, i, j) (reference __init__.py:243-264; values
+    pinned by tests/arrow/test_localij.py: i=25, j=13)."""
+    from .h3core import localij as _LIJ
+
+    pa = _pa()
+    cells = _cells_i64(cellarray)
+    if isinstance(anchor, (int, np.integer)):
+        anchors = np.full(cells.size, int(anchor), dtype=np.int64)
+    else:
+        anchors = _cells_i64(anchor)
+        if anchors.size != cells.size:
+            raise ValueError("anchor array length must match cell array")
+    i, j = _LIJ.cells_to_localij(anchors, cells)
+    ok = (i != np.iinfo(np.int32).min) & (j != np.iinfo(np.int32).min)
+    if not set_failing_to_invalid and not ok.all():
+        raise ValueError("cells_to_localij transformation failed")
+    mask = None if ok.all() else ~ok
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(anchors.astype(np.uint64), mask=mask),
+            pa.array(i.astype(np.int32), mask=mask),
+            pa.array(j.astype(np.int32), mask=mask),
+        ],
+        names=["anchor", "i", "j"],
+    )
+
+
+def localij_to_cells(anchor, i, j, set_failing_to_invalid: bool = False):
+    """uint64 cells from local (i, j) + anchor (reference
+    __init__.py:268-283)."""
+    from .h3core import localij as _LIJ
+
+    pa = _pa()
+    i = np.asarray(i, dtype=np.int64).ravel()
+    j = np.asarray(j, dtype=np.int64).ravel()
+    if isinstance(anchor, (int, np.integer)):
+        anchors = np.full(i.size, int(anchor), dtype=np.int64)
+    else:
+        anchors = _cells_i64(anchor)
+    cells = _LIJ.localij_to_cells(anchors, i, j)
+    ok = cells != -1
+    if not set_failing_to_invalid and not ok.all():
+        raise ValueError("localij_to_cells transformation failed")
+    mask = None if ok.all() else ~ok
+    return pa.array(cells.astype(np.uint64), mask=mask)

@@ -113,3 +113,90 @@ class TestContainmentModeEnum:
         b = polygon_to_cells([ring], 6, "intersectsboundary")
         c = polygon_to_cells([ring], 6, "Intersects_Boundary")
         assert a.tolist() == b.tolist() == c.tolist() and a.size
+
+
+class TestTopLevelAllParity:
+    def test_every_reference_all_symbol_importable(self):
+        """Round-5: every symbol of the reference's top-level __all__
+        (h3ronpy/python/h3ronpy/__init__.py:286-314) exists on
+        h3ronpy_spark, so `from h3ronpy import X` ports with the package
+        rename only."""
+        import h3ronpy_spark as H
+
+        names = [
+            "H3_CRS", "DEFAULT_CELL_COLUMN_NAME", "ContainmentMode",
+            "version", "change_resolution", "change_resolution_list",
+            "change_resolution_paired", "cells_resolution", "cells_parse",
+            "vertexes_parse", "directededges_parse", "compact",
+            "uncompact", "cells_valid", "vertexes_valid",
+            "directededges_valid", "grid_disk", "grid_disk_distances",
+            "grid_ring_distances", "grid_disk_aggregate_k",
+            "cells_area_m2", "cells_area_km2", "cells_area_rads2",
+            "cells_to_string", "vertexes_to_string",
+            "directededges_to_string", "cells_to_localij",
+            "localij_to_cells",
+        ]
+        missing = [n for n in names if not hasattr(H, n)]
+        assert not missing, missing
+
+    def test_arrow_shapes_match_reference_tests(self):
+        """Shapes/values the reference's own tests pin
+        (tests/arrow/test_neighbor.py, test_localij.py)."""
+        import numpy as np
+        import pyarrow as pa
+
+        import h3ronpy_spark as H
+
+        anchors = H.cells_parse(["85283473fffffff"])
+        cells = H.cells_parse(["8528342bfffffff"])
+        rb = H.cells_to_localij(cells, anchors)
+        assert rb.num_rows == 1
+        assert rb["i"][0].as_py() == 25 and rb["j"][0].as_py() == 13
+        # single-int anchor accepted too
+        rb2 = H.cells_to_localij(cells, int(np.uint64(anchors[0])))
+        assert rb2["i"][0].as_py() == 25
+        back = H.localij_to_cells(anchors, [25], [13])
+        assert back[0].as_py() == int(np.uint64(cells[0]))
+
+        from h3ronpy_spark.arrays import coordinates_to_cells
+
+        h = np.concatenate(
+            [
+                coordinates_to_cells(10.3, 45.1, 8),
+                coordinates_to_cells(5.3, -5.1, 8),
+            ]
+        )
+        disks = H.grid_disk(h, 2)
+        assert len(disks) == 2 and disks.type == pa.large_list(pa.uint64())
+        assert H.grid_disk(h, 2, flatten=True).type == pa.uint64()
+        dd = H.grid_disk_distances(h, 2)
+        assert dd.num_rows == 2
+        assert dd["cell"].type == pa.large_list(pa.uint64())
+        assert dd["k"].type == pa.large_list(pa.uint32())
+        flat = H.grid_disk_distances(h, 2, flatten=True)
+        centers = {int(x) for x in np.asarray(h, dtype=np.uint64)}
+        ks = {
+            k.as_py()
+            for c, k in zip(flat["cell"], flat["k"])
+            if c.as_py() in centers
+        }
+        assert ks == {0}
+        rf = H.grid_ring_distances(h, 1, 2, flatten=True)
+        assert all(c.as_py() not in centers for c in rf["cell"])
+        ag = H.grid_disk_aggregate_k(h, 2, "max")
+        assert ag["cell"].type == pa.uint64() and ag["k"].type == pa.uint32()
+
+    def test_resolution_change_eager(self):
+        import h3ronpy_spark as H
+
+        cells = H.cells_parse(["8528342bfffffff"])  # res 5
+        assert H.cells_resolution(cells)[0].as_py() == 5
+        kids = H.change_resolution(cells, 6)
+        assert len(kids) == 7
+        paired = H.change_resolution_paired(cells, 6)
+        assert paired.schema.names == ["cell_before", "cell_after"]
+        assert paired.num_rows == 7
+        up = H.change_resolution(kids, 5)
+        assert len(up) == 7  # 7 children -> same parent 7 times
+        lst = H.change_resolution_list([0], 6)
+        assert lst[0].as_py() is None or lst[0].as_py() == []
