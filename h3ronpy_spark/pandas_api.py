@@ -161,12 +161,22 @@ def geodataframe_to_cells(
     cell_column_name: str = DEFAULT_CELL_COLUMN_NAME,
 ) -> pd.DataFrame:
     """reference pandas/vector.py:74-97 — one output row per (input row,
-    cell), all non-geometry columns carried through."""
-    geom = gdf["geometry"] if "geometry" in gdf else gdf.geometry
+    cell), all non-geometry columns carried through.  The ACTIVE
+    geometry column is resolved via .geometry (so a geopandas frame
+    with a renamed geometry column — reference
+    tests/pandas/test_vector.py::test_non_standard_geometry_column_name
+    — works, and the renamed column is dropped from the output instead
+    of leaking through as data; round-5 fix)."""
+    if "geometry" in gdf.columns:
+        geom = gdf["geometry"]
+        geom_name = "geometry"
+    else:
+        geom = gdf.geometry  # geopandas active geometry (any name)
+        geom_name = getattr(geom, "name", "geometry")
     cells = geoseries_to_cells(
         geom, resolution, containment_mode=containment_mode, compact=compact
     )
-    rest = gdf.drop(columns=["geometry"], errors="ignore")
+    rest = gdf.drop(columns=[geom_name], errors="ignore")
     out = rest.loc[rest.index.repeat(cells.map(len))].reset_index(drop=True)
     out[cell_column_name] = np.concatenate(
         [c for c in cells if len(c)]

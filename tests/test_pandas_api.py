@@ -96,3 +96,73 @@ class TestVector:
         assert "geometry" in out.columns and out["x"].iloc[0] == 1
         blob = out["geometry"].iloc[0]
         assert blob[0] == 1 and int.from_bytes(blob[1:5], "little") == 3
+
+
+class TestReferenceEdgeCases:
+    """Round-5: the reference's own pandas edge-case tests mirrored
+    (h3ronpy/tests/pandas/test_vector.py)."""
+
+    def test_cells_dataframe_to_geodataframe_empty(self):
+        # reference test_vector.py:30-35 (h3ron issue #17): must not raise
+        import pandas as pd
+
+        import h3ronpy_spark.pandas_api as P
+
+        gdf = P.cells_dataframe_to_geodataframe(pd.DataFrame({"cell": []}))
+        assert len(gdf) == 0
+
+    def test_geometry_results_in_no_cells(self):
+        # reference test_vector.py:78-97: a sub-cell polygon at res 4
+        # with ContainsCentroid yields an empty frame, columns intact
+        import pandas as pd
+
+        import h3ronpy_spark.pandas_api as P
+        from h3ronpy_spark.h3core import wkb as W
+
+        poly = W.write_polygon(
+            [
+                [
+                    [1.100000, 4.50000],
+                    [1.100001, 4.50000],
+                    [1.100001, 4.50001],
+                    [1.100000, 4.50001],
+                    [1.100000, 4.50000],
+                ]
+            ]
+        )
+        gdf = pd.DataFrame({"geometry": [poly], "col1": [1]})
+        df = P.geodataframe_to_cells(gdf, 4)
+        assert len(df) == 0
+        assert "col1" in df.columns
+
+    def test_non_standard_geometry_column_name(self):
+        # reference test_vector.py:100-107: renamed active geometry —
+        # resolved via .geometry, and the renamed column must NOT leak
+        # into the output as data (round-5 fix)
+        import pandas as pd
+
+        import h3ronpy_spark.pandas_api as P
+        from h3ronpy_spark.h3core import wkb as W
+
+        poly = W.write_polygon(
+            [
+                [
+                    [7.0, 43.0],
+                    [7.3, 43.0],
+                    [7.3, 43.3],
+                    [7.0, 43.3],
+                    [7.0, 43.0],
+                ]
+            ]
+        )
+
+        class _GdfLike(pd.DataFrame):
+            @property
+            def geometry(self):
+                return self["something_else"]
+
+        gdf = _GdfLike({"something_else": [poly], "k": [9]})
+        df = P.geodataframe_to_cells(gdf, 5)
+        assert len(df) > 1
+        assert "something_else" not in df.columns
+        assert set(df.columns) == {"k", "cell"}
