@@ -87,21 +87,35 @@ def run_sharded(
             continue
         lo, hi = sid * per, min((sid + 1) * per, n_rows)
         t0 = time.time()
-        out = shard_fn(spark, sid, lo, hi)
-        # per-partition row counts for the skew metric (one extra cheap agg)
-        pc = (
-            out.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .agg(
-                F.sum("count").alias("rows"),
-                F.max("count").alias("mx"),
-                F.avg("count").alias("mean"),
-            )
-            .first()
+        # ONE job per shard (round-5): the row count rides the write
+        # action via Observation, and the per-partition skew metric is
+        # read back from the written parquet FOOTERS (each write task
+        # emits one part file, so file row counts == compute-partition
+        # row counts; footer reads are driver-side metadata, no second
+        # scan).  The previous shape ran a stats aggregation action and
+        # THEN the write — the whole shard_fn (decode + tile at 100 TB)
+        # executed twice.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"shard-{sid}")
+        out = shard_fn(spark, sid, lo, hi).observe(
+            obs, F.count(F.lit(1)).alias("rows")
         )
-        out.write.mode("overwrite").parquet(os.path.join(base, f"shard={sid}"))
+        shard_path = os.path.join(base, f"shard={sid}")
+        out.write.mode("overwrite").parquet(shard_path)
         secs = time.time() - t0
-        rows = int(pc["rows"] or 0)
+        rows = int(obs.get["rows"] or 0)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        fcounts = [
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(shard_path, "part-*.parquet"))
+        ]
+        fcounts = [c for c in fcounts if c > 0] or [0]
+        mx = max(fcounts)
+        mean = (sum(fcounts) / len(fcounts)) if fcounts else 0.0
         row = {
             "shard_id": sid,
             "id_start": lo,
@@ -111,11 +125,7 @@ def run_sharded(
             "rows": rows,
             "seconds": round(secs, 3),
             "rows_per_sec": round(rows / secs, 1) if secs > 0 else 0.0,
-            "skew_max_over_mean": round(
-                float(pc["mx"]) / float(pc["mean"]), 3
-            )
-            if pc["mean"]
-            else 0.0,
+            "skew_max_over_mean": round(mx / mean, 3) if mean else 0.0,
         }
         tmp = os.path.join(_manifest_dir(base), f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:

@@ -248,6 +248,36 @@ class TestCheckpoint:
         # output is complete
         total = spark.read.parquet(os.path.join(base, "shard=*")).count()
         assert total == 100
+
+    def test_shard_computes_exactly_once(self, spark, tmp_path):
+        """Round-5: the per-shard stats used to run a SEPARATE
+        aggregation action before the write, executing the whole
+        shard_fn plan twice; the row count now rides the write via
+        Observation.  An accumulator inside the shard plan pins
+        single-execution, and the footer-derived manifest stats stay
+        populated."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from h3ronpy_spark.plans.checkpoint import read_manifest, run_sharded
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def shard_fn(s, sid, lo, hi):
+            @pandas_udf("long")
+            def touch(x: pd.Series) -> pd.Series:
+                acc.add(len(x))
+                return x
+
+            return s.range(lo, hi, 1, 2).select(touch(F.col("id")).alias("x"))
+
+        base = str(tmp_path / "ckpt_once")
+        run_sharded(spark, base, n_rows=80, n_shards=2, cell_res=8,
+                    shard_fn=shard_fn)
+        assert acc.value == 80, f"shard plan executed {acc.value/80:.1f}x"
+        m = read_manifest(spark, base).collect()
+        assert sum(r["rows"] for r in m) == 80
+        assert all(r["skew_max_over_mean"] >= 1.0 for r in m)
         shutil.rmtree(base)
 
 
