@@ -256,20 +256,35 @@ def change_resolution_paired(arr, resolution: int):
 
 
 def _parse_indexes(strings, validator, set_failing_to_invalid, kind):
-    out = np.full(len(strings), -1, dtype=np.int64)
+    # hex is attempted first; decimal is retried whenever the hex
+    # interpretation FAILS — including by range/validation, not only by
+    # int() raising (ADVICE r05: the reference parses the documented
+    # 18-digit decimal form "600436454824345599" whose hex reading
+    # overflows 2^63) — so both candidates are parsed and validated,
+    # preferring a valid hex reading.
+    n = len(strings)
+    hexv = np.full(n, -1, dtype=np.int64)
+    decv = np.full(n, -1, dtype=np.int64)
     for i, x in enumerate(strings):
         if x is None:
             continue
+        s = str(x).strip()
         try:
-            v = int(str(x).strip(), 16)
+            v = int(s, 16)
+            if 0 <= v < (1 << 63):
+                hexv[i] = v
         except ValueError:
-            try:
-                v = int(str(x).strip(), 10)
-            except ValueError:
-                continue
-        if 0 <= v < (1 << 63):
-            out[i] = v
-    ok = validator(out)
+            pass
+        try:
+            v = int(s, 10)
+            if 0 <= v < (1 << 63):
+                decv[i] = v
+        except ValueError:
+            pass
+    hex_ok = validator(hexv)
+    dec_ok = validator(decv)
+    out = np.where(hex_ok, hexv, np.where(dec_ok, decv, hexv))
+    ok = hex_ok | dec_ok
     if not set_failing_to_invalid and not ok.all():
         raise ValueError(f"non-parsable {kind}")
     out = np.where(ok, out, -1)
@@ -347,9 +362,12 @@ def grid_disk(cellarray, k: int, flatten: bool = False):
     rows, cells = _G.grid_disk(h, k)
     ok = cells != -1
     rows, cells = rows[ok], cells[ok]
-    if flatten:
-        return pa.array(np.unique(cells).astype(np.uint64))
     order = np.argsort(rows, kind="stable")
+    if flatten:
+        # verbatim flatten of the per-row lists — duplicates and row
+        # order preserved (reference src/op/neighbor.rs:29-31
+        # into_flattened; ADVICE r05 — NOT np.unique)
+        return pa.array(cells[order].astype(np.uint64))
     return _list_array(
         rows[order], cells[order].astype(np.uint64), h.size, pa.uint64()
     )
@@ -391,6 +409,9 @@ def grid_ring_distances(
 ):
     from .h3core import grid as _G
 
+    if k_min >= k_max:
+        # reference parity: src/op/neighbor.rs:62-64
+        raise ValueError("k_min must be less than k_max")
     h = _cells_i64(cellarray)
     rows, cells, ks = _G.grid_disk_distances(h, k_max)
     keep = ks >= k_min

@@ -624,7 +624,11 @@ def change_resolution_paired(df, cell_col: str, resolution: int):
 
 
 def grid_ring_distances(cell: Column, k_min: int, k_max: int) -> Column:
-    """Op 25: annulus k_min <= k <= k_max, as filter over the disk."""
+    """Op 25: annulus k_min <= k <= k_max, as filter over the disk.
+    Raises on an inverted/empty range like the reference
+    (h3ronpy/src/op/neighbor.rs:62-64)."""
+    if k_min >= k_max:
+        raise ValueError("k_min must be less than k_max")
     disk = grid_disk_distances(cell, F.lit(k_max))
     return F.filter(disk, lambda s: s["k"] >= F.lit(k_min))
 

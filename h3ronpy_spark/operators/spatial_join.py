@@ -118,21 +118,24 @@ def pip_join(
     resolution, and anti-joining the exploded rows keeps every copy
     whose LEVEL missed — a matched point still surfaced through its
     other levels (and semi could duplicate a row matching two
-    overlapping polygons at different levels).  Rows are instead tagged
-    with a per-plan id, matched ids are collected through the same
-    broadcast/salted join machinery, and the final semi/anti is a plain
-    equi-join on the tag — one extra skinny shuffle, correct under
-    multi-res coverage, overlap, and salting."""
+    overlapping polygons at different levels).  Because match status is
+    a PURE FUNCTION of the cell value (the inner join probes coverage
+    by bit-math ancestors of the cell alone), semi/anti reduce to an
+    equi-join of the left against the DISTINCT matched cell set
+    (round-6 fix) — fully deterministic under repartitioning, AQE
+    re-plans and task retries, unlike the previous
+    monotonically_increasing_id row tag whose two plan-subtree
+    evaluations could assign different ids to the same row.  The
+    distinct-cell set is also far smaller than the row set at scale
+    (many points share a cell), so the final semi/anti join often
+    broadcasts where the tag join always shuffled the full left."""
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError(
             "how must be 'inner', 'left_semi' or 'left_anti'"
         )
     if how in ("left_semi", "left_anti"):
-        tagged = left_cells.withColumn(
-            "__rowid", F.monotonically_increasing_id()
-        )
-        matched = pip_join(
-            tagged.select("__rowid", cell_col),
+        matched_cells = pip_join(
+            left_cells.select(cell_col).distinct(),
             polygons,
             res,
             mode=mode,
@@ -142,8 +145,8 @@ def pip_join(
             how="inner",
             coverage=coverage,
             min_coverage_res=min_coverage_res,
-        ).select("__rowid")
-        return tagged.join(matched, "__rowid", how).drop("__rowid")
+        ).select(cell_col).distinct()
+        return left_cells.join(matched_cells, cell_col, how)
     if coverage is None:
         cov = polyfill_polygons(polygons, res, mode, compact=True)
         cov = cov.withColumnRenamed("cell", "__poly_cell")

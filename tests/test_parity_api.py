@@ -186,6 +186,71 @@ class TestTopLevelAllParity:
         ag = H.grid_disk_aggregate_k(h, 2, "max")
         assert ag["cell"].type == pa.uint64() and ag["k"].type == pa.uint32()
 
+    def test_grid_disk_flatten_verbatim(self):
+        """ADVICE r05 (medium): flatten=True is a verbatim flatten of the
+        per-row lists (reference src/op/neighbor.rs into_flattened) —
+        duplicates from overlapping disks preserved, row order stable,
+        NOT np.unique."""
+        import numpy as np
+        import h3ronpy_spark as H
+
+        # two NEIGHBORING cells -> k=1 disks overlap heavily
+        base = H.cells_parse(["8528342bfffffff"])
+        nbrs = H.grid_disk(base, 1)[0].as_py()
+        h = np.array(
+            [int(np.uint64(base[0])), int(nbrs[1])], dtype=np.uint64
+        )
+        lists = H.grid_disk(h, 1)
+        flat = H.grid_disk(h, 1, flatten=True)
+        want = [c for row in lists for c in row.as_py()]
+        got = [c.as_py() for c in flat]
+        assert got == want            # order + multiplicity verbatim
+        assert len(got) > len(set(got))  # overlap really dedups nothing
+
+    def test_parse_indexes_decimal_fallback(self):
+        """ADVICE r05 (low): a digit-only string whose HEX reading parses
+        but overflows/invalidates must still be retried as decimal — the
+        reference documents the 18-digit decimal form
+        (crates/h3arrow/src/algorithm/string.rs:146)."""
+        import numpy as np
+        import h3ronpy_spark as H
+        from h3ronpy_spark.h3core.edges import cells_to_edges
+
+        cell = H.cells_parse(["8552dc63fffffff"])
+        # decimal form of this cell parses (hex reading overflows 2^63)
+        assert int(np.uint64(H.cells_parse(["600436454824345599"])[0])) \
+            == 600436454824345599 == int(np.uint64(cell[0]))
+        rows, edges = cells_to_edges(
+            np.asarray(cell, dtype=np.uint64).astype(np.int64)
+        )
+        e = int(edges[0])
+        dec = str(e)  # 18-19 digit decimal; hex reading overflows
+        parsed = H.directededges_parse([f"{e:x}", dec])
+        assert parsed[0].as_py() == e and parsed[1].as_py() == e
+        v = int(np.uint64(H.cells_parse(["85283473fffffff"])[0]))
+        # vertex 0 of a cell: mode nibble 4 over the cell bits
+        from h3ronpy_spark.h3core.edges import cells_to_vertexes
+        _, verts = cells_to_vertexes(np.array([v], dtype=np.int64))
+        vv = int(verts[0])
+        pv = H.vertexes_parse([f"{vv:x}", str(vv)])
+        assert pv[0].as_py() == vv and pv[1].as_py() == vv
+
+    def test_grid_ring_inverted_range_raises(self):
+        """ADVICE r05 (low): k_min >= k_max raises like the reference
+        (h3ronpy/src/op/neighbor.rs:62-64)."""
+        import pytest
+        import h3ronpy_spark as H
+        from h3ronpy_spark import functions as HF
+
+        h = H.cells_parse(["8528342bfffffff"])
+        with pytest.raises(ValueError, match="less than"):
+            H.grid_ring_distances(h, 2, 2)
+        with pytest.raises(ValueError, match="less than"):
+            H.grid_ring_distances(h, 3, 1)
+        with pytest.raises(ValueError, match="less than"):
+            # guard fires before the column is touched — no session needed
+            HF.grid_ring_distances("cell", 2, 2)
+
     def test_resolution_change_eager(self):
         import h3ronpy_spark as H
 

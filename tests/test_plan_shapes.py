@@ -219,6 +219,78 @@ class TestNonBroadcastBranches:
         with pytest.raises(ValueError, match="how"):
             pip_join(pts, polys, res=8, how="full_outer")
 
+    def test_pip_join_semi_anti_repartition_stable(self, spark):
+        """Round-6 regression (ADVICE r05 high): semi/anti must be
+        deterministic when the left side's partition layout differs
+        between plan evaluations.  The round-5 implementation tagged
+        rows with monotonically_increasing_id and evaluated the tagged
+        subtree twice; a repartition/AQE re-plan between evaluations
+        could skew ids and silently corrupt results.  The round-6
+        matched-cell-set design has no per-row id at all, so any
+        partitioning of the left must give byte-identical results."""
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        base = spark.range(3000).select(
+            F.col("id"),
+            H.coordinates_to_cells(
+                (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0
+                 - 85.0),
+                (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0
+                 - 180.0),
+                F.lit(8),
+            ).alias("cell"),
+        )
+        polys = synth_polygons(spark, 8, seed=3)
+        want_semi = sorted(
+            r["id"]
+            for r in pip_join(base, polys, res=8, how="left_semi")
+            .select("id").collect()
+        )
+        want_anti = sorted(
+            r["id"]
+            for r in pip_join(base, polys, res=8, how="left_anti")
+            .select("id").collect()
+        )
+        assert want_semi and want_anti
+        # adversarial layouts: hash-repartition, skew-to-1, range
+        for adversarial in (
+            base.repartition(7, "cell"),
+            base.coalesce(1),
+            base.repartitionByRange(5, F.col("id").desc()),
+        ):
+            got_semi = sorted(
+                r["id"]
+                for r in pip_join(
+                    adversarial, polys, res=8, how="left_semi"
+                ).select("id").collect()
+            )
+            got_anti = sorted(
+                r["id"]
+                for r in pip_join(
+                    adversarial, polys, res=8, how="left_anti"
+                ).select("id").collect()
+            )
+            assert got_semi == want_semi
+            assert got_anti == want_anti
+        # null cells never match: anti keeps them, semi drops them
+        with_null = base.withColumn(
+            "cell",
+            F.when(F.col("id") < 10, F.lit(None)).otherwise(F.col("cell")),
+        )
+        semi_ids = {
+            r["id"]
+            for r in pip_join(with_null, polys, res=8, how="left_semi")
+            .select("id").collect()
+        }
+        anti_ids = {
+            r["id"]
+            for r in pip_join(with_null, polys, res=8, how="left_anti")
+            .select("id").collect()
+        }
+        assert semi_ids.isdisjoint(range(10))
+        assert set(range(10)) <= anti_ids
+
     def test_pip_join_plain_shuffle_branch(self, spark):
         """Threshold exceeded WITHOUT salt: plain shuffle equi-join on
         the prefix, same rows as the broadcast path."""
