@@ -314,6 +314,34 @@ def _close_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
     ]
 
 
+def _check_pole_cap(rings: list[np.ndarray]) -> None:
+    """Raise on pole-enclosing rings instead of silently returning the
+    degenerate zero-area band (VERDICT r05 item 7; PARITY.md).
+
+    A ring that encircles a pole has net wrapped-longitude winding of
+    ±360° (each consecutive-vertex delta normalized into (-180, 180]);
+    any ordinary polygon — including antimeridian-crossing ones — winds
+    to 0.  This is the same limitation libh3's polygonToCells documents;
+    the fix is the caller splitting the cap into two half-polygons that
+    each touch the pole along a meridian pair."""
+    for r in _close_rings(rings):
+        d = np.diff(r[:, 0])
+        wrapped = (d + 180.0) % 360.0 - 180.0
+        # exactly-180 deltas are ambiguous (meridian-following edges of a
+        # split half-cap); count them as their raw sign
+        wrapped = np.where(np.abs(np.abs(d) - 180.0) < 1e-9,
+                           np.sign(d) * 180.0, wrapped)
+        if abs(float(wrapped.sum())) > 350.0:
+            raise ValueError(
+                "polygon ring winds around a pole (net longitude winding "
+                "~360°); the planar fill would return a degenerate empty "
+                "band — the same limitation as libh3 polygonToCells. "
+                "Split the pole cap into two half-polygons at a meridian "
+                "(e.g. lng [-180, 0] and [0, 180], each closed through "
+                "the pole) and union the two fills."
+            )
+
+
 def _est_cells(rings: list[np.ndarray], res: int) -> float:
     allv = np.vstack(rings)
     minx, miny = allv.min(axis=0)
@@ -334,6 +362,7 @@ def polygon_to_cells(
     if mode not in _MODES:
         raise ValueError(f"unknown containment mode {mode!r}")
     rings = _close_rings(rings)
+    _check_pole_cap(rings)
     rings, shifted = _normalize_transmeridian(rings)
     if _est_cells(rings, res) > _DIRECT_BUDGET:
         comp = polygon_to_cells_compact(rings, res, mode)
@@ -374,6 +403,7 @@ def polygon_to_cells_compact(
     res 9+ tractable (SURVEY.md §4.2 item 3)."""
     mode = coerce_containment_mode(mode)
     rings = _close_rings(rings)
+    _check_pole_cap(rings)
     rings, shifted = _normalize_transmeridian(rings)
     r0 = res
     while r0 > 0 and _est_cells(rings, r0) > budget:

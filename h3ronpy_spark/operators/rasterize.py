@@ -37,7 +37,15 @@ def rasterize_cells(
     each bounded by its own pixel count."""
     n = df.count()
     if n > max_cells:
-        raise ValueError(f"{n} cells exceeds rasterize guard ({max_cells})")
+        raise ValueError(
+            f"rasterize_cells would collect {n} (cell, value) rows to the "
+            f"driver, above the max_cells guard ({max_cells}). Rasterize "
+            "per tile instead: split the output grid into bands/tiles, "
+            "filter cells to each tile's bbox (cells_bounds_arrays), and "
+            "call rasterize_cells once per tile — or reduce first with "
+            "groupBy(cell) / dissolve_groups. Raise max_cells only if the "
+            "driver really has memory for the full raster."
+        )
     pdf = df.select(cell_col, value_col).toPandas()
     return cells_to_raster(
         pdf[cell_col].to_numpy(np.int64),

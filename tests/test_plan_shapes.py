@@ -425,3 +425,36 @@ class TestIvfTrainingPlan:
             emb, n_clusters=4, sample_cap=40, expected_rows=n
         )
         assert np.array_equal(c1, c3)
+
+
+class TestRasterizeGuard:
+    def test_rasterize_driver_collect_guard(self, spark):
+        """VERDICT r05: rasterize_cells must refuse to collect more than
+        max_cells rows to the driver (a continent at res 12 would OOM)
+        — and still work under the cap."""
+        import numpy as np
+
+        from h3ronpy_spark.operators.rasterize import rasterize_cells
+        from h3ronpy_spark.operators.tiling import tile_images
+        from h3ronpy_spark.sources.images import (
+            IMAGES_SCHEMA, PIXEL_DEG, georef_of_phash,
+        )
+
+        w, h = 60, 40
+        band = np.zeros((h, w), dtype=np.uint8)
+        band[5:20, 10:40] = 7
+        band[25:35, 5:25] = 3
+        phash = 424242
+        images = spark.createDataFrame(
+            [("g", bytearray(band.tobytes()), w, h, "raw8", "c", phash)],
+            IMAGES_SCHEMA,
+        )
+        tiles = tile_images(images, res=11, nodata=0).select(
+            "cell", F.col("px_value").alias("value")
+        )
+        lat, lng = georef_of_phash(np.array([phash], dtype=np.int64))
+        tf = (PIXEL_DEG, 0.0, float(lng[0]), 0.0, -PIXEL_DEG, float(lat[0]))
+        with pytest.raises(ValueError, match="max_cells guard"):
+            rasterize_cells(tiles, (w, h), tf, max_cells=3)
+        out = rasterize_cells(tiles, (w, h), tf, nodata_value=0)
+        assert out.shape == (h, w) and (out == band).all()

@@ -361,3 +361,64 @@ class TestCoversMode:
         assert full <= cen <= inter <= cov
         # larger-than-cell polygon: covers adds nothing over intersects
         assert cov == inter
+
+
+class TestPoleCapGuard:
+    """VERDICT r05 item 7: pole-enclosing rings must raise with the
+    split-in-two workaround instead of silently filling 0 cells."""
+
+    def _cap_ring(self, lat=80.0):
+        import numpy as np
+
+        lngs = np.arange(-180.0, 181.0, 30.0)
+        return np.column_stack([lngs, np.full(lngs.size, lat)])
+
+    def test_polar_cap_raises(self):
+        import numpy as np
+        import pytest
+
+        from h3ronpy_spark.h3core import polyfill as P
+
+        ring = self._cap_ring()
+        with pytest.raises(ValueError, match="winds around a pole"):
+            P.polygon_to_cells([ring], 2)
+        with pytest.raises(ValueError, match="winds around a pole"):
+            P.polygon_to_cells_compact([ring], 2)
+        # south pole, reversed winding
+        sring = np.column_stack([ring[::-1, 0], -ring[::-1, 1]])
+        with pytest.raises(ValueError, match="winds around a pole"):
+            P.polygon_to_cells([sring], 2)
+
+    def test_two_half_polygons_fill_the_cap(self):
+        import numpy as np
+
+        from h3ronpy_spark.h3core import polyfill as P
+        from h3ronpy_spark.h3core.latlng import cell_to_latlng, latlng_to_cell
+
+        lat0 = 80.0
+        west = np.array(
+            [[-180.0, lat0], [-90.0, lat0], [0.0, lat0],
+             [0.0, 90.0], [-180.0, 90.0], [-180.0, lat0]]
+        )
+        east = np.array(
+            [[0.0, lat0], [90.0, lat0], [180.0, lat0],
+             [180.0, 90.0], [0.0, 90.0], [0.0, lat0]]
+        )
+        cells = np.union1d(
+            P.polygon_to_cells([west], 2), P.polygon_to_cells([east], 2)
+        )
+        assert cells.size > 0
+        # the cell holding the pole itself is covered
+        pole_cell = latlng_to_cell(
+            np.radians(np.array([89.99])), np.radians(np.array([0.0])), 2
+        )[0]
+        assert pole_cell in cells
+        # every returned centroid is inside the cap (tolerance one edge)
+        clat, _ = cell_to_latlng(cells)
+        assert np.degrees(clat).min() >= lat0 - 0.01
+        # non-cap polygons are untouched by the guard (incl. antimeridian)
+        seam = np.array(
+            [[179.5, 10.0], [-179.5, 10.0], [-179.5, 11.0],
+             [179.5, 11.0], [179.5, 10.0]]
+        )
+        assert P.polygon_to_cells([seam], 4).size > 0
