@@ -36,8 +36,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "60000"))
 N_POINTS = int(os.environ.get("BENCH_POINTS", "24000000"))
 SECTIONS = set(
-    os.environ.get("BENCH_ONLY", "scaling,flagship,headline").split(",")
+    os.environ.get("BENCH_ONLY", "scaling,flagship,headline,png").split(",")
 )
+# the png section decodes a real compressed stream per image; its image
+# count is separately tunable (defaults to the flagship count)
+N_IMAGES_PNG = int(os.environ.get("BENCH_IMAGES_PNG", str(N_IMAGES)))
 # wall-clock budget (seconds) each calibrated section may spend hunting for
 # a quiet window before settling for steal-normalized reporting (raised
 # 300 -> 420 in round 5: co-tenant windows were observed to stay noisy
@@ -357,6 +360,8 @@ def _emit(meta: dict) -> None:
         "flagship_images_per_sec", "flagship_joined_tiles",
         "flagship_runs", "scaling_runs",
         "headline_quiet_window",
+        "png_quiet_window", "png_normalized", "png_images_per_sec",
+        "png_decode_mpx_per_sec",
     ]
     compact["stats"] = {k: s[k] for k in keep if k in s}
     compact["detail"] = "BENCH_detail.json"
@@ -380,7 +385,7 @@ def _run_sections_in_subprocesses() -> None:
     merged_q: dict = {}
     merged_extra: dict = {}
     meta: dict = {}
-    for sec in ("scaling", "flagship", "headline"):
+    for sec in ("scaling", "flagship", "headline", "png"):
         if sec not in SECTIONS:
             continue
         env = dict(os.environ)
@@ -622,6 +627,61 @@ def main() -> None:
         extra["flagship_images_per_sec"] = round(N_IMAGES / flag_secs, 1)
         extra["flagship_images_per_sec_normalized"] = round(
             N_IMAGES / flag_norm, 1
+        )
+
+    if "png" in SECTIONS:
+        # --- PNG flagship (round 6, VERDICT r05 item 2): the identical
+        # pipeline over the PNG-compressed twin of the images table —
+        # zlib + unfilter decode per image through the codec registry.
+        # Same pixels => row-identical rollup (asserted in tests); the
+        # delta vs flagship_pip_join is the real compressed-decode cost
+        # a 100-TB image corpus pays.
+        from h3ronpy_spark.operators.spatial_join import polyfill_polygons
+
+        png_polys = synth_polygons(spark, 60, seed=42)
+        png_cov = (
+            polyfill_polygons(png_polys, 9, compact=True)
+            .withColumnRenamed("cell", "__poly_cell")
+            .persist()
+        )
+        png_cov.count()
+        # exact pixel volume for decode-throughput reporting (untimed)
+        from h3ronpy_spark.sources.images import synth_images
+
+        total_px = int(
+            synth_images(spark, N_IMAGES_PNG, seed=42, partitions=CPUS)
+            .select((F.col("w").cast("long") * F.col("h")).alias("px"))
+            .agg(F.sum("px"))
+            .first()[0]
+        )
+        pstate = {"tiles": 0}
+
+        def _png_once():
+            out = flagship(
+                spark, n_images=N_IMAGES_PNG, n_polygons=60, res=9,
+                partitions=256, coverage=png_cov, fmt="png",
+            )
+            pstate["tiles"] = int(
+                out.agg(F.sum("n_tiles").alias("t")).first()["t"] or 0
+            )
+
+        _png_once()  # warm-up, untimed
+        png_runs, pratios, ppress = timed_reps(
+            _png_once, min_reps=2, max_reps=8, budget_s=REP_BUDGET
+        )
+        png_secs, png_norm, png_quiet = pick_time(png_runs, pratios, ppress)
+        results["flagship_png"] = round(png_secs, 2)
+        extra["png_rep_pressure"] = ppress
+        extra["png_runs"] = [round(x, 2) for x in png_runs]
+        extra["png_calib_ratios"] = pratios
+        extra["png_quiet_window"] = png_quiet
+        extra["png_normalized"] = png_norm
+        extra["png_joined_tiles"] = pstate["tiles"]
+        extra["png_total_pixels"] = total_px
+        extra["png_images_per_sec"] = round(N_IMAGES_PNG / png_secs, 1)
+        extra["png_decode_mpx_per_sec"] = round(total_px / png_secs / 1e6, 2)
+        extra["png_images_per_sec_normalized"] = round(
+            N_IMAGES_PNG / png_norm, 1
         )
 
     if "headline" in SECTIONS:

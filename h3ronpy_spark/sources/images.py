@@ -122,6 +122,49 @@ def synth_images(
     return base.mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def gen_images_png_pdf(
+    ids: np.ndarray, seed: int = 42, filter_type: int | None = 2
+) -> pd.DataFrame:
+    """gen_images_pdf with PNG-compressed payloads: identical pixels,
+    geometry, caption and phash — only `bytes` (zlib/PNG stream) and
+    `fmt` differ, so every query over this table must return exactly
+    what the raw8 table returns (VERDICT r05 item 2: the real
+    compressed codec exercised under load).  filter_type=2 (Up) keeps
+    the decoder on its vectorized unfilter path, like a real encoder's
+    common choice; None cycles all five filters."""
+    from .png import encode_png
+
+    pdf = gen_images_pdf(ids, seed)
+    pdf["bytes"] = [
+        encode_png(
+            np.frombuffer(b, np.uint8).reshape(hh, ww),
+            filter_type=filter_type,
+        )
+        for b, ww, hh in zip(pdf["bytes"], pdf["w"], pdf["h"])
+    ]
+    pdf["fmt"] = "png"
+    return pdf
+
+
+def synth_images_png(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    filter_type: int | None = 2,
+) -> DataFrame:
+    """Distributed deterministic PNG images table (fmt='png').  Callers
+    must register_png_codec() before building decode-consuming plans."""
+    parts = partitions or _default_parts(spark, n)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield gen_images_png_pdf(b["id"].to_numpy(), seed, filter_type)
+
+    return base.mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def synth_captions(
     spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:

@@ -48,22 +48,50 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """Encode (h, w) uint8/uint16 greyscale or (h, w, 3) uint8 RGB.
+def encode_png(
+    arr: np.ndarray,
+    palette: np.ndarray | None = None,
+    trns: np.ndarray | None = None,
+    filter_type: int | None = None,
+) -> bytes:
+    """Encode (h, w) uint8/uint16 greyscale, (h, w, 3) uint8 RGB,
+    (h, w, 4) uint8 RGBA, or — with `palette` ((n<=256, 3) uint8) —
+    (h, w) uint8 palette indices (color type 3, optional `trns` alpha
+    table, (m<=n,) uint8).
 
-    Per-row filter = row_index % 5, covering every filter type."""
+    Per-row filter = row_index % 5 by default, covering every filter
+    type; pass `filter_type` 0-4 to pin one (2=Up keeps the decoder on
+    its vectorized path — what the bench corpus uses)."""
     arr = np.asarray(arr)
-    if arr.ndim == 2 and arr.dtype == np.uint8:
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if (
+            arr.ndim != 2 or arr.dtype != np.uint8
+            or palette.ndim != 2 or palette.shape[1] != 3
+            or not 1 <= palette.shape[0] <= 256
+        ):
+            raise ValueError(
+                "palette encode needs (h, w) uint8 indices and an "
+                "(n<=256, 3) uint8 palette"
+            )
+        if int(arr.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index out of range")
+        color_type, bit_depth, channels = 3, 8, 1
+    elif arr.ndim == 2 and arr.dtype == np.uint8:
         color_type, bit_depth, channels = 0, 8, 1
     elif arr.ndim == 2 and arr.dtype == np.uint16:
         color_type, bit_depth, channels = 0, 16, 1
     elif arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
         color_type, bit_depth, channels = 2, 8, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4 and arr.dtype == np.uint8:
+        color_type, bit_depth, channels = 6, 8, 4
     else:
         raise ValueError(
             f"unsupported array for PNG encode: shape={arr.shape} "
             f"dtype={arr.dtype}"
         )
+    if trns is not None and color_type != 3:
+        raise ValueError("trns only applies to palette (color type 3)")
     h, w = arr.shape[:2]
     bpp = channels * (bit_depth // 8)
     # raw scanline bytes, big-endian sample order per the spec
@@ -72,47 +100,68 @@ def encode_png(arr: np.ndarray) -> bytes:
     else:
         rows = arr.tobytes()
     stride = w * bpp
+    # Filtering is fully vectorizable on the ENCODE side: every
+    # predictor (left/up/upper-left) reads RAW neighbor bytes, not
+    # reconstructed ones, so there is no sequential dependency (unlike
+    # decode, where Sub/Average/Paeth reconstruct left-to-right).
+    mat = np.frombuffer(rows, np.uint8).reshape(h, stride).astype(np.int16)
+    left_m = np.zeros_like(mat)
+    left_m[:, bpp:] = mat[:, :-bpp]
+    up_m = np.zeros_like(mat)
+    up_m[1:] = mat[:-1]
+
+    def _paeth_plane():
+        ul_m = np.zeros_like(mat)
+        ul_m[1:, bpp:] = mat[:-1, :-bpp]
+        p = left_m + up_m - ul_m
+        pa = np.abs(p - left_m)
+        pb = np.abs(p - up_m)
+        pc = np.abs(p - ul_m)
+        return mat - np.where(
+            (pa <= pb) & (pa <= pc), left_m, np.where(pb <= pc, up_m, ul_m)
+        )
+
+    planes = {
+        0: lambda: mat,
+        1: lambda: mat - left_m,
+        2: lambda: mat - up_m,
+        3: lambda: mat - (left_m + up_m) // 2,
+        4: _paeth_plane,
+    }
+    needed = range(5) if filter_type is None else [int(filter_type)]
+    filtered = {f: planes[f]() for f in needed}
     out = bytearray()
-    prev = bytes(stride)
     for y in range(h):
-        raw = rows[y * stride : (y + 1) * stride]
-        ftype = y % 5
+        ftype = (y % 5) if filter_type is None else int(filter_type)
         out.append(ftype)
-        if ftype == 0:  # None
-            out += raw
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = raw[x - bpp] if x >= bpp else 0
-                out.append((raw[x] - left) & 0xFF)
-        elif ftype == 2:  # Up
-            out += bytes((raw[x] - prev[x]) & 0xFF for x in range(stride))
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = raw[x - bpp] if x >= bpp else 0
-                out.append((raw[x] - (left + prev[x]) // 2) & 0xFF)
-        else:  # Paeth
-            for x in range(stride):
-                left = raw[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                out.append((raw[x] - _paeth(left, prev[x], ul)) & 0xFF)
-        prev = raw
+        out += (filtered[ftype][y] & 0xFF).astype(np.uint8).tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    chunks = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _chunk(b"PLTE", palette.tobytes())
+        if trns is not None:
+            chunks += _chunk(
+                b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes()
+            )
     return (
-        _SIG
-        + _chunk(b"IHDR", ihdr)
+        chunks
         + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
         + _chunk(b"IEND", b"")
     )
 
 
 def decode_png(blob: bytes) -> np.ndarray:
-    """Decode a non-interlaced greyscale-8/16 or RGB-8 PNG to a numpy
-    array of shape (h, w) or (h, w, 3).  Verifies chunk CRCs."""
+    """Decode a non-interlaced greyscale-8/16, RGB-8, RGBA-8 or
+    palette-8 PNG.  Output shape: (h, w) for greyscale, (h, w, 3) for
+    RGB and opaque palette, (h, w, 4) for RGBA and palette-with-tRNS.
+    Verifies chunk CRCs."""
     if blob[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos < len(blob):
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         tag = blob[pos + 4 : pos + 8]
@@ -124,6 +173,12 @@ def decode_png(blob: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, np.uint8)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -136,11 +191,15 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise NotImplementedError(
             "only compression=0, filter=0, non-interlaced PNGs supported"
         )
-    if (color_type, bit_depth) not in ((0, 8), (0, 16), (2, 8)):
+    if (color_type, bit_depth) not in (
+        (0, 8), (0, 16), (2, 8), (6, 8), (3, 8)
+    ):
         raise NotImplementedError(
             f"unsupported PNG color_type={color_type} bit_depth={bit_depth}"
         )
-    channels = 3 if color_type == 2 else 1
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     bpp = channels * (bit_depth // 8)
     stride = w * bpp
     raw = zlib.decompress(bytes(idat))
@@ -154,10 +213,9 @@ def decode_png(blob: bytes) -> np.ndarray:
         row = bytearray(stride)
         if ftype == 0:  # None
             row[:] = line
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (line[x] + left) & 0xFF
+        elif ftype == 1:  # Sub — per-byte-lane cumsum (uint8 wraps mod 256)
+            lanes = np.frombuffer(line, np.uint8).reshape(-1, bpp)
+            row[:] = np.cumsum(lanes, axis=0, dtype=np.uint8).tobytes()
         elif ftype == 2:  # Up — vectorizable, the common filter
             row[:] = (
                 (
@@ -183,8 +241,18 @@ def decode_png(blob: bytes) -> np.ndarray:
         a = np.frombuffer(bytes(recon), ">u2").astype(np.uint16)
     else:
         a = np.frombuffer(bytes(recon), np.uint8)
-    if channels == 3:
-        return a.reshape(h, w, 3)
+    if color_type == 3:
+        idx = a.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(plte.shape[0], 255, np.uint8)
+        alpha[: trns.size] = trns
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+    if channels > 1:
+        return a.reshape(h, w, channels)
     return a.reshape(h, w)
 
 

@@ -145,7 +145,7 @@ class TestPngPure:
         @given(
             h=st.integers(1, 12),
             w=st.integers(1, 12),
-            kind=st.sampled_from(["g8", "g16", "rgb8"]),
+            kind=st.sampled_from(["g8", "g16", "rgb8", "rgba8", "pal8"]),
             seed=st.integers(0, 2**31 - 1),
         )
         def check(h, w, kind, seed):
@@ -154,8 +154,16 @@ class TestPngPure:
                 a = rng.integers(0, 256, (h, w), dtype=np.uint8)
             elif kind == "g16":
                 a = rng.integers(0, 65536, (h, w), dtype=np.uint16)
-            else:
+            elif kind == "rgb8":
                 a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            elif kind == "rgba8":
+                a = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            else:
+                pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+                idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+                got = decode_png(encode_png(idx, palette=pal))
+                assert (got == pal[idx]).all()
+                return
             b = decode_png(encode_png(a))
             assert b.dtype == a.dtype and b.shape == a.shape
             assert (a == b).all()
@@ -163,10 +171,95 @@ class TestPngPure:
         check()
 
     def test_unsupported_color_type_raises(self):
-        # color type 6 (RGBA) is out of the supported subset
-        blob = self._hand_png(1, 1, [(0, [0, 0, 0, 0])], color_type=6)
+        # color type 4 (grey+alpha) is out of the supported subset
+        blob = self._hand_png(1, 1, [(0, [0, 0])], color_type=4)
         with pytest.raises(NotImplementedError, match="color_type"):
             decode_png(blob)
+
+    def test_rgba_roundtrip_and_filters(self):
+        """Round-6 (VERDICT r05 item 8): RGBA-8 (color type 6), all five
+        filters via the row%5 schedule."""
+        rng = np.random.default_rng(11)
+        for shape in [(7, 5, 4), (1, 1, 4), (32, 9, 4)]:
+            a = rng.integers(0, 256, shape, dtype=np.uint8)
+            b = decode_png(encode_png(a))
+            assert b.shape == a.shape and b.dtype == np.uint8
+            assert (a == b).all()
+
+    def test_rgba_hand_assembled_sub_filter(self):
+        """Spec-exact Sub unfilter for bpp=4: left neighbor is 4 bytes
+        back, so each CHANNEL accumulates independently."""
+        blob = self._hand_png(
+            2, 1, [(1, [10, 20, 30, 40, 1, 2, 3, 4])], color_type=6
+        )
+        got = decode_png(blob)
+        want = np.array([[[10, 20, 30, 40], [11, 22, 33, 44]]], np.uint8)
+        assert (got == want).all()
+
+    def test_palette_roundtrip_opaque_and_trns(self):
+        """Palette PNGs (color type 3): decode expands through PLTE to
+        RGB, and through tRNS to RGBA with 255 for entries past the
+        table (per spec)."""
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+        idx = rng.integers(0, 6, (9, 7), dtype=np.uint8)
+        got = decode_png(encode_png(idx, palette=pal))
+        assert got.shape == (9, 7, 3)
+        assert (got == pal[idx]).all()
+        trns = np.array([0, 128, 255], np.uint8)  # shorter than palette
+        got4 = decode_png(encode_png(idx, palette=pal, trns=trns))
+        assert got4.shape == (9, 7, 4)
+        assert (got4[..., :3] == pal[idx]).all()
+        alpha_full = np.array([0, 128, 255, 255, 255, 255], np.uint8)
+        assert (got4[..., 3] == alpha_full[idx]).all()
+
+    def test_palette_hand_assembled(self):
+        """Hand-built palette stream independent of our encoder."""
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        plte = bytes([255, 0, 0, 0, 255, 0])  # red, green
+        body = bytes([0, 0, 1])  # filter None, indexes [0, 1]
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(blob)
+        want = np.array([[[255, 0, 0], [0, 255, 0]]], np.uint8)
+        assert (got == want).all()
+
+    def test_palette_errors(self):
+        pal = np.zeros((4, 3), np.uint8)
+        with pytest.raises(ValueError, match="index out of range"):
+            encode_png(np.full((2, 2), 9, np.uint8), palette=pal)
+        with pytest.raises(ValueError, match="palette encode"):
+            encode_png(np.zeros((2, 2, 3), np.uint8), palette=pal)
+        with pytest.raises(ValueError, match="trns"):
+            encode_png(
+                np.zeros((2, 2, 3), np.uint8), trns=np.zeros(2, np.uint8)
+            )
+
+    def test_fixed_filter_type_roundtrip(self):
+        """filter_type pin (hot-path corpus uses Up=2) stays lossless
+        for every supported pixel format."""
+        rng = np.random.default_rng(5)
+        g = rng.integers(0, 256, (10, 6), dtype=np.uint8)
+        rgba = rng.integers(0, 256, (10, 6, 4), dtype=np.uint8)
+        for ft in range(5):
+            assert (decode_png(encode_png(g, filter_type=ft)) == g).all()
+            assert (
+                decode_png(encode_png(rgba, filter_type=ft)) == rgba
+            ).all()
 
 
 def _png_images(spark, n=40, seed=42):
@@ -252,3 +345,25 @@ class TestPngThroughOperators:
             assert r_raw == r_png and r_raw
         finally:
             unregister_codec("png")
+
+
+class TestFlagshipPng:
+    def test_flagship_png_rollup_identical(self, spark):
+        """flagship(fmt='png') must be row-identical to raw8 — same
+        pixels, only the payload encoding differs (the bench png
+        section's correctness premise)."""
+        from h3ronpy_spark.plans.flagship import flagship
+
+        a = sorted(
+            map(tuple, flagship(spark, 400, n_polygons=8, res=9).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                flagship(spark, 400, n_polygons=8, res=9, fmt="png")
+                .collect(),
+            )
+        )
+        assert a == b and a
+        with pytest.raises(ValueError, match="fmt"):
+            flagship(spark, 10, fmt="jpeg")
