@@ -353,17 +353,24 @@ class TestFlagshipPng:
         pixels, only the payload encoding differs (the bench png
         section's correctness premise)."""
         from h3ronpy_spark.plans.flagship import flagship
+        from h3ronpy_spark.sources.images import unregister_codec
 
-        a = sorted(
-            map(tuple, flagship(spark, 400, n_polygons=8, res=9).collect())
-        )
-        b = sorted(
-            map(
-                tuple,
-                flagship(spark, 400, n_polygons=8, res=9, fmt="png")
-                .collect(),
+        try:
+            a = sorted(
+                map(
+                    tuple,
+                    flagship(spark, 400, n_polygons=8, res=9).collect(),
+                )
             )
-        )
-        assert a == b and a
-        with pytest.raises(ValueError, match="fmt"):
-            flagship(spark, 10, fmt="jpeg")
+            b = sorted(
+                map(
+                    tuple,
+                    flagship(spark, 400, n_polygons=8, res=9, fmt="png")
+                    .collect(),
+                )
+            )
+            assert a == b and a
+            with pytest.raises(ValueError, match="fmt"):
+                flagship(spark, 10, fmt="jpeg")
+        finally:
+            unregister_codec("png")

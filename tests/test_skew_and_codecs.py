@@ -262,10 +262,13 @@ class TestCodecRegistry:
             unregister_codec("toy_rle")
 
     def test_unregistered_codec_raises(self, spark):
+        # 'jpeg' has no built-in codec and nothing in the suite
+        # registers one ('png' no longer qualifies: the flagship png
+        # path and the driver's image query register it globally)
         from h3ronpy_spark.sources.images import decode_image
 
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x00", 1, 1, "png")
+            decode_image(b"\x00", 1, 1, "jpeg")
 
     def test_tiling_with_registered_codec(self, spark):
         """tile_images decodes through the registry too: a toy codec
