@@ -42,7 +42,10 @@ def flagship(
     fmt='png' runs the identical pipeline over the PNG-compressed twin
     of the images table (pure-Python codec, registered here) — same
     pixels, so the rollup is row-identical to raw8; the decode cost is
-    what a real compressed 100-TB corpus pays (VERDICT r05 item 2)."""
+    what a real compressed 100-TB corpus pays (VERDICT r05 item 2).
+    fmt='jpeg' does the same over the baseline-JPEG twin (round 6) —
+    LOSSY, so the rollup's px sums differ within the PSNR >= 40 dB
+    envelope while the join/tile structure is identical."""
     if fmt == "png":
         from ..sources.images import synth_images_png
         from ..sources.png import register_png_codec
@@ -51,12 +54,22 @@ def flagship(
         images = synth_images_png(
             spark, n_images, seed=seed, partitions=partitions
         )
+    elif fmt == "jpeg":
+        from ..sources.images import synth_images_jpeg
+        from ..sources.jpeg import register_jpeg_codec
+
+        register_jpeg_codec()
+        images = synth_images_jpeg(
+            spark, n_images, seed=seed, partitions=partitions
+        )
     elif fmt == "raw8":
         images = synth_images(
             spark, n_images, seed=seed, partitions=partitions
         )
     else:
-        raise ValueError(f"flagship fmt must be 'raw8' or 'png', got {fmt!r}")
+        raise ValueError(
+            f"flagship fmt must be 'raw8', 'png' or 'jpeg', got {fmt!r}"
+        )
     # Captions are dropped BEFORE tiling (round-4): a caption is constant
     # per image, but tile_images explodes ~120 tiles/image, so carrying
     # the string through the tile stage Arrow-serializes ~120 duplicated

@@ -165,6 +165,46 @@ def synth_images_png(
     return base.mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def gen_images_jpeg_pdf(
+    ids: np.ndarray, seed: int = 42, quality: int = 90
+) -> pd.DataFrame:
+    """gen_images_pdf with baseline-JPEG payloads (round 6).  JPEG is
+    LOSSY: unlike the PNG twin, decoded pixels differ from raw8 within
+    the north-rule PSNR >= 40 dB envelope (pinned at quality 90 for
+    this corpus), so parity gates compare by PSNR, not bit-identity.
+    Deterministic: same encoder, same bytes, every run/executor."""
+    from .jpeg import encode_jpeg
+
+    pdf = gen_images_pdf(ids, seed)
+    pdf["bytes"] = [
+        encode_jpeg(
+            np.frombuffer(b, np.uint8).reshape(hh, ww), quality
+        )
+        for b, ww, hh in zip(pdf["bytes"], pdf["w"], pdf["h"])
+    ]
+    pdf["fmt"] = "jpeg"
+    return pdf
+
+
+def synth_images_jpeg(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    quality: int = 90,
+) -> DataFrame:
+    """Distributed deterministic JPEG images table (fmt='jpeg').  Callers
+    must register_jpeg_codec() before building decode-consuming plans."""
+    parts = partitions or _default_parts(spark, n)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield gen_images_jpeg_pdf(b["id"].to_numpy(), seed, quality)
+
+    return base.mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def synth_captions(
     spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:

