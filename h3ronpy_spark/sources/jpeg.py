@@ -7,18 +7,21 @@ overwhelmingly JPEG, so the engine's multimodal plumbing needs a real
 lossy codec too.  This implements the ITU-T T.81 BASELINE sequential
 DCT subset:
 
-  * encode: 8-bit greyscale and RGB (JFIF YCbCr, 4:4:4 — no chroma
-    subsampling, keeping the decoder simple and PSNR high), standard
-    Annex K quantization + Huffman tables, libjpeg-convention quality
-    scaling, byte stuffing, restart-free scan.
-  * decode: baseline sequential (SOF0), 1- or 3-component 4:4:4,
-    multi-table DQT/DHT markers, restart markers (DRI/RSTn) accepted,
-    16-bit-window Huffman LUT entropy decode (one dict lookup per
-    symbol), then VECTORIZED dequant + IDCT + color convert over all
-    blocks at once — the Python-level loop touches only the entropy
-    symbols, everything pixel-shaped stays in numpy.
-  * progressive (SOF2), arithmetic coding, 12-bit, and subsampled
-    streams raise NotImplementedError — the registry seam
+  * encode: 8-bit greyscale and RGB (JFIF YCbCr), 4:4:4 (default,
+    highest PSNR) or 4:2:0 (2x2 box-averaged chroma — the dominant
+    web-corpus layout), standard Annex K quantization + Huffman
+    tables, libjpeg-convention quality scaling, byte stuffing,
+    restart-free scan.
+  * decode: baseline sequential (SOF0/1), 1- or 3-component with
+    ARBITRARY integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2,
+    4:4:0, ...; chroma upsampled by pixel replication), multi-table
+    DQT/DHT markers, restart markers (DRI/RSTn), 10-bit-window
+    Huffman LUT entropy decode (one dict lookup per symbol), then
+    VECTORIZED dequant + IDCT + color convert over all blocks at
+    once — the Python-level loop touches only the entropy symbols,
+    everything pixel-shaped stays in numpy.
+  * progressive (SOF2), arithmetic coding, 12-bit, and non-integer
+    sampling ratios raise NotImplementedError — the registry seam
     (sources/images.py) is where a real libjpeg plugs in (matching
     where the reference leans on rasterio/GDAL for container decode,
     h3ronpy/tests/arrow/test_raster.py:21-26).
@@ -183,30 +186,6 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def _to_blocks(comp: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad (edge-replicate) to multiples of 8 and split into (n, 8, 8)."""
-    h, w = comp.shape
-    ph, pw = -h % 8, -w % 8
-    if ph or pw:
-        comp = np.pad(comp, ((0, ph), (0, pw)), mode="edge")
-    hh, ww = comp.shape
-    blocks = (
-        comp.reshape(hh // 8, 8, ww // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-    )
-    return blocks, hh // 8, ww // 8
-
-
-def _from_blocks(blocks: np.ndarray, by: int, bx: int, h: int, w: int):
-    comp = (
-        blocks.reshape(by, bx, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(by * 8, bx * 8)
-    )
-    return comp[:h, :w]
-
-
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -275,9 +254,23 @@ def _encode_component_blocks(
     return dc_pred
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def _pad_to(comp: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = comp.shape
+    if h == ph and w == pw:
+        return comp
+    return np.pad(comp, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """Encode (h, w) uint8 greyscale or (h, w, 3) uint8 RGB as baseline
-    JFIF (4:4:4, standard tables, quality-scaled quantization)."""
+    JFIF (standard tables, quality-scaled quantization).
+
+    subsampling: '444' (default — no chroma subsampling, highest PSNR)
+    or '420' (2x2 box-averaged chroma, the dominant web-corpus layout —
+    half the chroma blocks, used to exercise the decoder's general
+    sampling-factor path)."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
         arr.ndim == 3 and arr.shape[2] != 3
@@ -286,24 +279,55 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             f"unsupported array for JPEG encode: shape={arr.shape} "
             f"dtype={arr.dtype}"
         )
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
     q_lum, q_chr = _quality_tables(quality)
     if arr.ndim == 2:
-        comps = [arr.astype(np.float64)]
+        comps_px = [arr.astype(np.float64)]
+        samp = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(arr)
-        comps = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-    n_comp = len(comps)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "444":
+            comps_px = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            ph, pw = -h % 16, -w % 16
+            yp = _pad_to(y, h + ph, w + pw)
+            down = []
+            for c in (cb, cr):
+                cp = _pad_to(c, h + ph, w + pw)
+                down.append(
+                    cp.reshape(cp.shape[0] // 2, 2, cp.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+            comps_px = [yp, down[0], down[1]]
+    n_comp = len(comps_px)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # vectorized DCT + quantization for every component
+    # vectorized DCT + quantization per component, blocks in raster order
     qblocks = []
-    for ci, comp in enumerate(comps):
-        blocks, _, _ = _to_blocks(comp)
+    bdims = []
+    for ci, comp in enumerate(comps_px):
+        hi, vi = samp[ci]
+        bw_i, bh_i = mcux * hi, mcuy * vi
+        comp = _pad_to(comp, bh_i * 8, bw_i * 8)
+        blocks = (
+            comp.reshape(bh_i, 8, bw_i, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
         shifted = blocks - 128.0
         coef = np.einsum("ux,nxy,vy->nuv", _D, shifted, _D)
         q = q_lum if ci == 0 else q_chr
         qz = np.round(coef / q).astype(np.int32)
         qblocks.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+        bdims.append((bw_i, bh_i))
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 / JFIF
@@ -317,10 +341,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             int(x) for x in q.reshape(-1)[_ZIGZAG]
         )
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
-    # SOF0: 8-bit baseline, 4:4:4
+    # SOF0: 8-bit baseline
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT
     tabs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
@@ -337,22 +362,28 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # interleaved MCUs (4:4:4 -> one block per component per MCU)
+    # interleaved MCUs: per MCU, each component contributes vi x hi
+    # blocks in raster order (one block each for 4:4:4)
     writer = _BitWriter()
     preds = [0] * n_comp
-    n_mcu = qblocks[0].shape[0]
     if n_comp == 1:
         preds[0] = _encode_component_blocks(
             qblocks[0], writer, _ENC_DC[0], _ENC_AC[0], preds[0]
         )
     else:
-        for m in range(n_mcu):
-            for ci in range(3):
-                t = 0 if ci == 0 else 1
-                preds[ci] = _encode_component_blocks(
-                    qblocks[ci][m : m + 1], writer,
-                    _ENC_DC[t], _ENC_AC[t], preds[ci],
-                )
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(n_comp):
+                    hi, vi = samp[ci]
+                    bw_i = bdims[ci][0]
+                    t = 0 if ci == 0 else 1
+                    for by in range(vi):
+                        for bx in range(hi):
+                            idx = (my * vi + by) * bw_i + mx * hi + bx
+                            preds[ci] = _encode_component_blocks(
+                                qblocks[ci][idx : idx + 1], writer,
+                                _ENC_DC[t], _ENC_AC[t], preds[ci],
+                            )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -500,10 +531,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
-            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+            hmax_ = max(hs for _, hs, vs, _ in comps)
+            vmax_ = max(vs for _, hs, vs, _ in comps)
+            if any(
+                hs < 1 or vs < 1 or hmax_ % hs or vmax_ % vs
+                for _, hs, vs, _ in comps
+            ):
                 raise NotImplementedError(
-                    "subsampled JPEG (non-4:4:4) unsupported; register a "
-                    "libjpeg-backed codec for production corpora"
+                    "non-integer-ratio sampling factors unsupported; "
+                    "register a libjpeg-backed codec for such streams"
                 )
             sof = (fh, fw, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -547,10 +583,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         p += 1
 
     reader = _BitReader(bytes(raw))
-    by, bx = (fh + 7) // 8, (fw + 7) // 8
-    n_mcu = by * bx
     nc = len(comps)
-    zz = [np.zeros((n_mcu, 64), np.int32) for _ in range(nc)]
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    bdims = []
+    zz = []
+    for _, hs, vs, _ in comps:
+        bw_i, bh_i = mcux * hs, mcuy * vs
+        bdims.append((bw_i, bh_i))
+        zz.append(np.zeros((bh_i * bw_i, 64), np.int32))
     preds = [0] * nc
     comp_tabs = []
     for cs, td, ta in scan_comps:
@@ -560,47 +603,67 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             raise ValueError("JPEG scan references missing Huffman table")
         comp_tabs.append((dc, ac))
     mcu_since_rst = 0
-    for m in range(n_mcu):
-        if restart_interval and mcu_since_rst == restart_interval:
-            reader.align()
-            preds = [0] * nc
-            mcu_since_rst = 0
-        for ci in range(nc):
-            (dc_codes, dc_fast), (ac_codes, ac_fast) = (
-                comp_tabs[ci][0], comp_tabs[ci][1],
-            )
-            size = _read_symbol(reader, dc_codes, dc_fast)
-            diff = _extend(reader.read(size), size)
-            preds[ci] += diff
-            blk = zz[ci]
-            blk[m, 0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(reader, ac_codes, ac_fast)
-                r_, s_ = rs >> 4, rs & 0x0F
-                if s_ == 0:
-                    if r_ == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r_
-                if k > 63:
-                    raise ValueError("JPEG: AC index out of range")
-                blk[m, k] = _extend(reader.read(s_), s_)
-                k += 1
-        mcu_since_rst += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_since_rst == restart_interval:
+                reader.align()
+                preds = [0] * nc
+                mcu_since_rst = 0
+            for ci in range(nc):
+                _, hs, vs, _ = comps[ci]
+                bw_i = bdims[ci][0]
+                (dc_codes, dc_fast), (ac_codes, ac_fast) = (
+                    comp_tabs[ci][0], comp_tabs[ci][1],
+                )
+                blk = zz[ci]
+                for by_ in range(vs):
+                    for bx_ in range(hs):
+                        m = (my * vs + by_) * bw_i + mx * hs + bx_
+                        size = _read_symbol(reader, dc_codes, dc_fast)
+                        diff = _extend(reader.read(size), size)
+                        preds[ci] += diff
+                        blk[m, 0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(reader, ac_codes, ac_fast)
+                            r_, s_ = rs >> 4, rs & 0x0F
+                            if s_ == 0:
+                                if r_ == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r_
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG: AC index out of range"
+                                )
+                            blk[m, k] = _extend(reader.read(s_), s_)
+                            k += 1
+            mcu_since_rst += 1
 
-    # vectorized dequant + IDCT per component
+    # vectorized dequant + IDCT per component, then integer-ratio
+    # chroma upsampling (pixel replication) and crop
     planes = []
-    for ci, (cid, _, _, tq) in enumerate(comps):
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
         q = qtables.get(tq)
         if q is None:
             raise ValueError("JPEG component references missing DQT")
+        bw_i, bh_i = bdims[ci]
         coef = (zz[ci][:, _UNZIGZAG].reshape(-1, 8, 8) * q).astype(
             np.float64
         )
         pix = np.einsum("xu,nuv,yv->nxy", _D.T, coef, _D.T) + 128.0
-        planes.append(_from_blocks(pix, by, bx, fh, fw))
+        plane = (
+            pix.reshape(bh_i, bw_i, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_i * 8, bw_i * 8)
+        )
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:fh, :fw])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)

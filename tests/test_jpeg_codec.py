@@ -165,13 +165,49 @@ class TestJpegPure:
         with pytest.raises(NotImplementedError, match="baseline"):
             decode_jpeg(bytes(blob))
 
-    def test_subsampled_rejected(self):
+    def test_420_roundtrip(self):
+        """4:2:0 encode->decode (round 6): exact geometry at odd sizes,
+        chroma-flat content near-lossless, natural-ish content above
+        the gate; 4:2:0 streams are smaller than 4:4:4."""
+        x = np.arange(80)
+        y = np.arange(56)[:, None]
+        smooth = ((x * 2 + y * 3) % 256).astype(np.uint8)
+        mono = np.stack([smooth] * 3, axis=-1)  # chroma-constant
+        b = decode_jpeg(encode_jpeg(mono, 93, subsampling="420"))
+        assert b.shape == mono.shape
+        assert psnr_db(mono, b) >= 40.0
+        # gently-varying chroma stays above the gate through 2x2
+        # box-average + replication
+        rgb = np.stack(
+            [smooth,
+             (smooth * 0.9 + 10).astype(np.uint8),
+             (smooth * 0.8 + 30).astype(np.uint8)], axis=-1
+        )
+        b = decode_jpeg(encode_jpeg(rgb, 93, subsampling="420"))
+        assert psnr_db(rgb, b) >= 40.0, psnr_db(rgb, b)
+        for shape in [(17, 23), (15, 16), (9, 9), (16, 16)]:
+            h, w = shape
+            base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 2)
+                    % 200 + 20).astype(np.uint8)
+            a = np.stack([base] * 3, axis=-1)
+            bb = decode_jpeg(encode_jpeg(a, 93, subsampling="420"))
+            assert bb.shape == a.shape
+            assert psnr_db(a, bb) >= 40.0
+        # varying chroma: 4:2:0 carries 1/4 the chroma blocks
+        assert len(encode_jpeg(rgb, 93, subsampling="420")) < len(
+            encode_jpeg(rgb, 93)
+        )
+        with pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg(mono, 93, subsampling="422")
+
+    def test_non_integer_sampling_ratio_rejected(self):
         a = np.zeros((8, 8, 3), np.uint8)
         blob = bytearray(encode_jpeg(a, 90))
-        # patch the SOF sampling byte for component 1 to 4:2:0 (0x22)
         sof_at = bytes(blob).index(b"\xff\xc0")
+        # Y (2,2), Cb (3,3): hmax 3 not divisible by 2 -> unsupported
         blob[sof_at + 11] = 0x22
-        with pytest.raises(NotImplementedError, match="4:4:4"):
+        blob[sof_at + 14] = 0x33
+        with pytest.raises(NotImplementedError, match="sampling"):
             decode_jpeg(bytes(blob))
 
     def test_codec_adapter_geometry(self):
