@@ -395,88 +395,44 @@ def encode_jpeg(
 
 
 def _decode_lut(bits, values):
-    """16-bit-window LUT: lut[w >> (16 - maxlen)] -> (symbol, length).
+    """10-bit-window LUT for the scan's Huffman decode.
 
-    Implemented as a dict keyed by the exact (length, code) pair plus a
-    per-length first-code table for O(16) worst-case walk — in practice
-    one dict hit per symbol via the windowed fast path."""
+    Returns (codes, flat): `flat` is a flat 1024-entry list indexed by
+    the next 10 bits of the stream; each entry packs
+    ``(code_length << 8) | symbol`` (or -1 for codes longer than 10
+    bits, resolved via the exact ``codes[(length, code)]`` dict walk).
+    A flat list lookup is one LOAD_SUBSCR per symbol — no hashing —
+    which matters because the entropy loop is the only per-coefficient
+    Python in the decoder."""
     codes = {}
     code = 0
     k = 0
-    fast = {}
+    flat = [-1] * 1024
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             codes[(length, code)] = values[k]
             if length <= 10:
                 # enumerate all 10-bit windows starting with this code
                 base = code << (10 - length)
+                packed = (length << 8) | values[k]
                 for suffix in range(1 << (10 - length)):
-                    fast[base | suffix] = (values[k], length)
+                    flat[base | suffix] = packed
             code += 1
             k += 1
         code <<= 1
-    return codes, fast
+    return codes, flat
 
 
-class _BitReader:
-    """MSB-first bit reader over unstuffed scan bytes."""
+def _read_long_code(acc: int, nbits: int, codes: dict) -> tuple[int, int]:
+    """Resolve a Huffman code longer than the 10-bit fast window.
 
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.acc = (self.acc << 8) | 0xFF  # pad past end
-            self.nbits += 8
-
-    def peek(self, n: int) -> int:
-        self._fill(n)
-        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-
-    def skip(self, n: int) -> None:
-        self._fill(n)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = self.peek(n)
-        self.skip(n)
-        return v
-
-    def align(self) -> None:
-        self.nbits -= self.nbits % 8
-        self.acc &= (1 << self.nbits) - 1
-
-
-def _read_symbol(r: _BitReader, codes: dict, fast: dict) -> int:
-    win = r.peek(10)
-    hit = fast.get(win)
-    if hit is not None:
-        r.skip(hit[1])
-        return hit[0]
-    # long code: walk lengths 11..16
+    Returns (symbol, new_nbits); raises on an invalid code."""
     for length in range(11, 17):
-        code = r.peek(length)
+        code = (acc >> (nbits - length)) & ((1 << length) - 1)
         sym = codes.get((length, code))
         if sym is not None:
-            r.skip(length)
-            return sym
+            return sym, nbits - length
     raise ValueError("JPEG: invalid Huffman code in scan")
-
-
-def _extend(v: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
@@ -582,7 +538,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raw.append(b)
         p += 1
 
-    reader = _BitReader(bytes(raw))
+    data = bytes(raw)
+    dlen = len(data)
     nc = len(comps)
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
@@ -594,7 +551,6 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         bw_i, bh_i = mcux * hs, mcuy * vs
         bdims.append((bw_i, bh_i))
         zz.append(np.zeros((bh_i * bw_i, 64), np.int32))
-    preds = [0] * nc
     comp_tabs = []
     for cs, td, ta in scan_comps:
         dc = htables.get(td)
@@ -602,44 +558,106 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if dc is None or ac is None:
             raise ValueError("JPEG scan references missing Huffman table")
         comp_tabs.append((dc, ac))
+    # Per-MCU schedule: (ci, block-offset-within-MCU-row-of-blocks)
+    # flattened so the hot loop has no per-block tuple unpacking.
+    sched = []
+    for ci in range(nc):
+        _, hs, vs, _ = comps[ci]
+        bw_i = bdims[ci][0]
+        for by_ in range(vs):
+            for bx_ in range(hs):
+                sched.append((ci, vs, by_ * bw_i + bx_, hs))
+    # Sparse coefficient collection: per-component flat indices/values,
+    # written into zz in ONE vectorized scatter after the scan — a numpy
+    # scalar __setitem__ per nonzero coefficient is ~10x a list append.
+    idx_out = [[] for _ in range(nc)]
+    val_out = [[] for _ in range(nc)]
+    preds = [0] * nc
+
+    # Inlined MSB-first bit reader: acc/nbits/p as locals.  The stream
+    # is pre-padded so the fill loop needs no bounds check: a refill
+    # tops up to 32 bits, so a well-formed scan reads at most 4 bytes
+    # past its last coefficient; 8 pad bytes cover that.  A truncated
+    # or corrupt stream that decodes past the pad raises IndexError,
+    # converted to ValueError below.
+    data += b"\xff" * 8
+    acc = 0
+    nbits = 0
+    p = 0
     mcu_since_rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_since_rst == restart_interval:
-                reader.align()
-                preds = [0] * nc
-                mcu_since_rst = 0
-            for ci in range(nc):
-                _, hs, vs, _ = comps[ci]
-                bw_i = bdims[ci][0]
-                (dc_codes, dc_fast), (ac_codes, ac_fast) = (
-                    comp_tabs[ci][0], comp_tabs[ci][1],
-                )
-                blk = zz[ci]
-                for by_ in range(vs):
-                    for bx_ in range(hs):
-                        m = (my * vs + by_) * bw_i + mx * hs + bx_
-                        size = _read_symbol(reader, dc_codes, dc_fast)
-                        diff = _extend(reader.read(size), size)
-                        preds[ci] += diff
-                        blk[m, 0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(reader, ac_codes, ac_fast)
-                            r_, s_ = rs >> 4, rs & 0x0F
-                            if s_ == 0:
-                                if r_ == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r_
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG: AC index out of range"
-                                )
-                            blk[m, k] = _extend(reader.read(s_), s_)
-                            k += 1
-            mcu_since_rst += 1
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_since_rst == restart_interval:
+                    nbits -= nbits % 8  # byte-align at restart
+                    acc &= (1 << nbits) - 1
+                    preds = [0] * nc
+                    mcu_since_rst = 0
+                for ci, vs, boff, hs in sched:
+                    m = (my * vs * bdims[ci][0] + mx * hs + boff) << 6
+                    (dc_codes, dc_flat), (ac_codes, ac_flat) = comp_tabs[ci]
+                    idxs = idx_out[ci]
+                    vals = val_out[ci]
+                    # --- DC coefficient
+                    while nbits < 32:
+                        acc = (acc << 8) | data[p]
+                        p += 1
+                        nbits += 8
+                    ent = dc_flat[(acc >> (nbits - 10)) & 1023]
+                    if ent >= 0:
+                        nbits -= ent >> 8
+                        size = ent & 0xFF
+                    else:
+                        size, nbits = _read_long_code(acc, nbits, dc_codes)
+                    if size:
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        preds[ci] += v
+                    pred = preds[ci]
+                    if pred:
+                        idxs.append(m)
+                        vals.append(pred)
+                    acc &= (1 << nbits) - 1
+                    # --- AC coefficients
+                    k = 1
+                    while k < 64:
+                        while nbits < 32:
+                            acc = (acc << 8) | data[p]
+                            p += 1
+                            nbits += 8
+                        ent = ac_flat[(acc >> (nbits - 10)) & 1023]
+                        if ent >= 0:
+                            nbits -= ent >> 8
+                            rs = ent & 0xFF
+                        else:
+                            rs, nbits = _read_long_code(acc, nbits, ac_codes)
+                        size = rs & 0x0F
+                        if size == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG: AC index out of range")
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        acc &= (1 << nbits) - 1
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        idxs.append(m + k)
+                        vals.append(v)
+                        k += 1
+                    # bound acc between blocks (EOB/ZRL paths don't mask)
+                    acc &= (1 << nbits) - 1
+                mcu_since_rst += 1
+    except IndexError:
+        raise ValueError("JPEG: truncated scan data") from None
+    for ci in range(nc):
+        if idx_out[ci]:
+            zz[ci].reshape(-1)[np.array(idx_out[ci])] = val_out[ci]
 
     # vectorized dequant + IDCT per component, then integer-ratio
     # chroma upsampling (pixel replication) and crop
