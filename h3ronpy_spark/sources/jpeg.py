@@ -34,6 +34,7 @@ decode against the spec independent of our encoder.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -164,26 +165,35 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return q, q.copy()
 
 
+_RGB2YCC = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168736, -0.331264, 0.5],
+        [0.5, -0.418688, -0.081312],
+    ]
+).T
+_YCC2RGB = np.array(
+    [
+        [1.0, 0.0, 1.402],
+        [1.0, -0.344136, -0.714136],
+        [1.0, 1.772, 0.0],
+    ]
+).T
+
+
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
-    r = rgb[..., 0].astype(np.float64)
-    g = rgb[..., 1].astype(np.float64)
-    b = rgb[..., 2].astype(np.float64)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    return np.stack([y, cb, cr], axis=-1)
+    ycc = rgb.astype(np.float64) @ _RGB2YCC
+    ycc[..., 1:] += 128.0
+    return ycc
 
 
 def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y = ycc[..., 0]
-    cb = ycc[..., 1] - 128.0
-    cr = ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(
-        np.round(np.stack([r, g, b], axis=-1)), 0, 255
-    ).astype(np.uint8)
+    shifted = ycc.copy()
+    shifted[..., 1:] -= 128.0
+    rgb = shifted @ _YCC2RGB
+    np.rint(rgb, out=rgb)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)
 
 
 class _BitWriter:
@@ -323,7 +333,8 @@ def encode_jpeg(
             .reshape(-1, 8, 8)
         )
         shifted = blocks - 128.0
-        coef = np.einsum("ux,nxy,vy->nuv", _D, shifted, _D)
+        # broadcast batched matmul: ~20x einsum for stacks of 8x8 blocks
+        coef = _D @ shifted @ _D.T
         q = q_lum if ci == 0 else q_chr
         qz = np.round(coef / q).astype(np.int32)
         qblocks.append(qz.reshape(-1, 64)[:, _ZIGZAG])
@@ -394,8 +405,13 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-def _decode_lut(bits, values):
+@functools.lru_cache(maxsize=64)
+def _decode_lut(bits: bytes, values: bytes):
     """10-bit-window LUT for the scan's Huffman decode.
+
+    lru_cached on the raw DHT payload: a corpus encoded with one table
+    set (ours always uses the Annex K tables) builds each 1024-entry
+    LUT once per process instead of once per image.
 
     Returns (codes, flat): `flat` is a flat 1024-entry list indexed by
     the next 10 bits of the stream; each entry packs
@@ -474,9 +490,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 tid = seg[p]
-                bits = list(seg[p + 1 : p + 17])
+                bits = bytes(seg[p + 1 : p + 17])
                 cnt = sum(bits)
-                values = list(seg[p + 17 : p + 17 + cnt])
+                values = bytes(seg[p + 17 : p + 17 + cnt])
                 htables[tid] = _decode_lut(bits, values)
                 p += 17 + cnt
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
@@ -518,28 +534,30 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = sof
 
-    # unstuff the entropy-coded segment up to the next non-RST marker
-    raw = bytearray()
-    p = scan_start
-    rst_positions = []
-    while p < n:
-        b = blob[p]
-        if b == 0xFF:
-            nxt = blob[p + 1] if p + 1 < n else 0xD9
-            if nxt == 0x00:
-                raw.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                rst_positions.append(len(raw))
-                p += 2
-                continue
-            break  # real marker: end of scan
-        raw.append(b)
-        p += 1
-
-    data = bytes(raw)
-    dlen = len(data)
+    # Unstuff the entropy-coded segment up to the next non-RST marker.
+    # Vectorized: locate every 0xFF with numpy, then splice around the
+    # (rare) stuffed/RST pairs with O(#markers) slices instead of a
+    # per-byte Python loop.
+    seg = blob[scan_start:]
+    seg_arr = np.frombuffer(seg, np.uint8)
+    ffs = np.flatnonzero(seg_arr == 0xFF)
+    nxt = np.full(ffs.shape, 0xD9, np.uint8)  # trailing FF ends the scan
+    inb = ffs + 1 < seg_arr.shape[0]
+    nxt[inb] = seg_arr[ffs[inb] + 1]
+    stuffed = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    term = ~stuffed & ~rst
+    term_idx = int(ffs[term][0]) if term.any() else len(seg)
+    before = ffs < term_idx
+    pieces = []
+    prev = 0
+    for i, st in zip(ffs[before & ~term].tolist(),
+                     stuffed[before & ~term].tolist()):
+        # stuffed FF00: keep the FF, drop the 00; RSTn: drop both bytes
+        pieces.append(seg[prev : i + 1] if st else seg[prev:i])
+        prev = i + 2
+    pieces.append(seg[prev:term_idx])
+    data = b"".join(pieces)
     nc = len(comps)
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
@@ -670,7 +688,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         coef = (zz[ci][:, _UNZIGZAG].reshape(-1, 8, 8) * q).astype(
             np.float64
         )
-        pix = np.einsum("xu,nuv,yv->nxy", _D.T, coef, _D.T) + 128.0
+        # broadcast batched matmul: ~20x einsum for stacks of 8x8 blocks
+        pix = _D.T @ coef @ _D + 128.0
         plane = (
             pix.reshape(bh_i, bw_i, 8, 8)
             .transpose(0, 2, 1, 3)
