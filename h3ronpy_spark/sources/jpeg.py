@@ -264,6 +264,133 @@ def _encode_component_blocks(
     return dc_pred
 
 
+# exact size-category LUT (|v| <= 2040 for 8-bit baseline; 4096 guards)
+_SIZE_LUT = np.zeros(4096, np.int64)
+for _v in range(1, 4096):
+    _SIZE_LUT[_v] = _v.bit_length()
+
+
+def _enc_arrays(tables, nsym: int) -> tuple[np.ndarray, np.ndarray]:
+    codes = np.zeros((len(tables), nsym), np.int64)
+    lens = np.zeros((len(tables), nsym), np.int64)
+    for ti, tab in enumerate(tables):
+        for sym, (c, ln) in tab.items():
+            codes[ti, sym] = c
+            lens[ti, sym] = ln
+    return codes, lens
+
+
+_DC_CODE, _DC_LEN = _enc_arrays(_ENC_DC, 12)
+_AC_CODE, _AC_LEN = _enc_arrays(_ENC_AC, 256)
+
+
+def _entropy_encode(qblocks: list, samp: list, mcux: int,
+                    mcuy: int) -> bytes:
+    """Vectorized Huffman entropy coder: byte-identical to the serial
+    `_BitWriter` path (pinned by test), but every stage — MCU block
+    interleave, DC differentials, run-length tokenization, canonical
+    code lookup, bit packing, byte stuffing — is a numpy array op, so
+    the per-coefficient Python loop disappears from the encode hot path
+    (the corpus builders encode 60k images per bench run).
+
+    Token model: one int64 `(huffman_code << size) | magnitude_bits`
+    plus a bit length per token; tokens are ordered by a per-block slot
+    key (DC=0, ZRL/value pairs by zigzag position, EOB last) with a
+    stable argsort, expanded to a 0/1 stream, np.packbits-ed, 1-padded
+    per T.81 F.1.2.3, and FF-stuffed with one np.insert."""
+    n_comp = len(qblocks)
+    per_mcu = [hi * vi for hi, vi in samp]
+    B = sum(per_mcu)
+    offs = np.cumsum([0] + per_mcu)
+    tot = mcux * mcuy * B
+    A = np.empty((tot, 64), np.int64)
+    tabsel = np.empty(tot, np.int64)
+    dcdiff = np.empty(tot, np.int64)
+    for ci, (hi, vi) in enumerate(samp):
+        bw_i = mcux * hi
+        my = np.arange(mcuy)[:, None, None, None]
+        mx = np.arange(mcux)[None, :, None, None]
+        by = np.arange(vi)[None, None, :, None]
+        bx = np.arange(hi)[None, None, None, :]
+        # appearance order of this component's qblock rows in the scan
+        order = ((my * vi + by) * bw_i + mx * hi + bx).reshape(-1)
+        nci = order.shape[0]
+        seq = np.arange(nci)
+        gpos = (seq // per_mcu[ci]) * B + offs[ci] + seq % per_mcu[ci]
+        blocks = qblocks[ci][order].astype(np.int64)
+        A[gpos] = blocks
+        tabsel[gpos] = 0 if ci == 0 else 1
+        d = blocks[:, 0].copy()
+        d[1:] -= blocks[:-1, 0]  # DC differential along appearance order
+        dcdiff[gpos] = d
+
+    # --- DC tokens (slot 0 in each block)
+    dsize = _SIZE_LUT[np.abs(dcdiff)]
+    dmag = np.where(dcdiff >= 0, dcdiff, dcdiff + (1 << dsize) - 1)
+    dc_full = (_DC_CODE[tabsel, dsize] << dsize) | dmag
+    dc_flen = _DC_LEN[tabsel, dsize] + dsize
+    dc_key = np.arange(tot) * 130
+
+    # --- AC value tokens; np.nonzero is row-major so (bid, pos) pairs
+    # arrive already ordered by (block, zigzag position)
+    bmat = A[:, 1:]
+    bid, pos = np.nonzero(bmat)
+    vals = bmat[bid, pos]
+    same = np.empty(bid.shape, bool)
+    if bid.size:
+        same[0] = False
+        same[1:] = bid[1:] == bid[:-1]
+    prevpos = np.where(
+        same, np.concatenate((pos[:1] * 0, pos[:-1])), -1
+    )
+    run = pos - prevpos - 1
+    z = run >> 4
+    asize = _SIZE_LUT[np.abs(vals)]
+    amag = np.where(vals >= 0, vals, vals + (1 << asize) - 1)
+    tab = tabsel[bid]
+    sym = ((run & 15) << 4) | asize
+    ac_full = (_AC_CODE[tab, sym] << asize) | amag
+    ac_flen = _AC_LEN[tab, sym] + asize
+    ac_key = bid * 130 + 2 * (pos + 1)
+
+    # --- ZRL tokens precede their value token (same-key stable order
+    # keeps repeats adjacent and in sequence)
+    zi = np.repeat(np.arange(bid.shape[0]), z)
+    ztab = tab[zi]
+    zrl_full = _AC_CODE[ztab, 0xF0]
+    zrl_flen = _AC_LEN[ztab, 0xF0]
+    zrl_key = bid[zi] * 130 + 2 * (pos[zi] + 1) - 1
+
+    # --- EOB for every block whose last zigzag coefficient is zero
+    ebid = np.flatnonzero(bmat[:, 62] == 0)
+    etab = tabsel[ebid]
+    eob_full = _AC_CODE[etab, 0x00]
+    eob_flen = _AC_LEN[etab, 0x00]
+    eob_key = ebid * 130 + 129
+
+    keys = np.concatenate([dc_key, zrl_key, ac_key, eob_key])
+    full = np.concatenate([dc_full, zrl_full, ac_full, eob_full])
+    flen = np.concatenate([dc_flen, zrl_flen, ac_flen, eob_flen])
+    order2 = np.argsort(keys, kind="stable")
+    full = full[order2]
+    flen = flen[order2]
+
+    # --- expand to a 0/1 stream (row-major boolean select keeps token
+    # order), pack, pad with 1s, stuff FF bytes
+    m = int(flen.max())
+    sh = flen[:, None] - 1 - np.arange(m)[None, :]
+    bits = ((full[:, None] >> np.maximum(sh, 0)) & 1).astype(np.uint8)
+    stream = bits[sh >= 0]
+    padn = (-stream.size) % 8
+    if padn:
+        stream = np.concatenate([stream, np.ones(padn, np.uint8)])
+    scan = np.packbits(stream)
+    ffs = np.flatnonzero(scan == 0xFF)
+    if ffs.size:
+        scan = np.insert(scan, ffs + 1, np.uint8(0))
+    return scan.tobytes()
+
+
 def _pad_to(comp: np.ndarray, ph: int, pw: int) -> np.ndarray:
     h, w = comp.shape
     if h == ph and w == pw:
@@ -374,28 +501,10 @@ def encode_jpeg(
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     # interleaved MCUs: per MCU, each component contributes vi x hi
-    # blocks in raster order (one block each for 4:4:4)
-    writer = _BitWriter()
-    preds = [0] * n_comp
-    if n_comp == 1:
-        preds[0] = _encode_component_blocks(
-            qblocks[0], writer, _ENC_DC[0], _ENC_AC[0], preds[0]
-        )
-    else:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(n_comp):
-                    hi, vi = samp[ci]
-                    bw_i = bdims[ci][0]
-                    t = 0 if ci == 0 else 1
-                    for by in range(vi):
-                        for bx in range(hi):
-                            idx = (my * vi + by) * bw_i + mx * hi + bx
-                            preds[ci] = _encode_component_blocks(
-                                qblocks[ci][idx : idx + 1], writer,
-                                _ENC_DC[t], _ENC_AC[t], preds[ci],
-                            )
-    out += writer.flush()
+    # blocks in raster order (one block each for 4:4:4); the entropy
+    # coder is fully vectorized (see _entropy_encode), byte-identical
+    # to the serial _BitWriter oracle kept for tests
+    out += _entropy_encode(qblocks, samp, mcux, mcuy)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -247,6 +247,73 @@ class TestJpegPure:
         check()
 
 
+class TestVectorizedEntropyCoder:
+    """The numpy entropy coder must be byte-identical to the serial
+    _BitWriter oracle for every scan layout (444/420/grayscale), across
+    sparse blocks, long zero runs (ZRL chains), and blocks whose last
+    zigzag coefficient is nonzero (no EOB)."""
+
+    @staticmethod
+    def _serial_scan(qblocks, samp, mcux, mcuy):
+        import h3ronpy_spark.sources.jpeg as J
+
+        writer = J._BitWriter()
+        n_comp = len(qblocks)
+        preds = [0] * n_comp
+        if n_comp == 1:
+            J._encode_component_blocks(
+                qblocks[0], writer, J._ENC_DC[0], J._ENC_AC[0], 0
+            )
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(n_comp):
+                        hi, vi = samp[ci]
+                        bw_i = mcux * hi
+                        t = 0 if ci == 0 else 1
+                        for by in range(vi):
+                            for bx in range(hi):
+                                idx = (my * vi + by) * bw_i + mx * hi + bx
+                                preds[ci] = J._encode_component_blocks(
+                                    qblocks[ci][idx : idx + 1],
+                                    writer,
+                                    J._ENC_DC[t],
+                                    J._ENC_AC[t],
+                                    preds[ci],
+                                )
+        return writer.flush()
+
+    def test_matches_serial_oracle(self):
+        import h3ronpy_spark.sources.jpeg as J
+
+        rng = np.random.default_rng(3)
+        for trial in range(40):
+            n_comp = 1 if trial % 3 == 0 else 3
+            if n_comp == 1:
+                samp = [(1, 1)]
+            elif trial % 3 == 1:
+                samp = [(1, 1), (1, 1), (1, 1)]
+            else:
+                samp = [(2, 2), (1, 1), (1, 1)]
+            mcux = int(rng.integers(1, 7))
+            mcuy = int(rng.integers(1, 7))
+            qblocks = []
+            for hi, vi in samp:
+                nb = (mcux * hi) * (mcuy * vi)
+                b = np.zeros((nb, 64), np.int32)
+                for _ in range(int(rng.integers(0, 20))):
+                    b[rng.integers(0, nb), rng.integers(0, 64)] = int(
+                        rng.integers(-1023, 1024)
+                    )
+                if trial % 5 == 0 and nb:
+                    b[0, 63] = 7  # last coef nonzero: no EOB
+                    b[0, 1:40] = 0  # force ZRL chains
+                qblocks.append(b)
+            a = self._serial_scan(qblocks, samp, mcux, mcuy)
+            v = J._entropy_encode(qblocks, samp, mcux, mcuy)
+            assert a == v, (trial, samp, mcux, mcuy)
+
+
 class TestJpegThroughOperators:
     def test_features_jpeg_close_to_raw8(self, spark):
         """extract_image_features over JPEG payloads matches raw8 within
