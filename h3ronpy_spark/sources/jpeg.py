@@ -685,103 +685,109 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if dc is None or ac is None:
             raise ValueError("JPEG scan references missing Huffman table")
         comp_tabs.append((dc, ac))
-    # Per-MCU schedule: (ci, block-offset-within-MCU-row-of-blocks)
-    # flattened so the hot loop has no per-block tuple unpacking.
-    sched = []
-    for ci in range(nc):
-        _, hs, vs, _ = comps[ci]
-        bw_i = bdims[ci][0]
-        for by_ in range(vs):
-            for bx_ in range(hs):
-                sched.append((ci, vs, by_ * bw_i + bx_, hs))
+    # Per-MCU schedule with everything the per-block body needs baked
+    # in (tables, output lists, index arithmetic), so the hot loop does
+    # one tuple unpack per block and no dict/list indexing.
     # Sparse coefficient collection: per-component flat indices/values,
     # written into zz in ONE vectorized scatter after the scan — a numpy
     # scalar __setitem__ per nonzero coefficient is ~10x a list append.
     idx_out = [[] for _ in range(nc)]
     val_out = [[] for _ in range(nc)]
     preds = [0] * nc
+    sched = []
+    for ci in range(nc):
+        _, hs, vs, _ = comps[ci]
+        bw_i = bdims[ci][0]
+        (dc_codes, dc_flat), (ac_codes, ac_flat) = comp_tabs[ci]
+        for by_ in range(vs):
+            for bx_ in range(hs):
+                sched.append(
+                    (ci, vs * bw_i, by_ * bw_i + bx_, hs,
+                     dc_flat, dc_codes, ac_flat, ac_codes,
+                     idx_out[ci], val_out[ci])
+                )
 
-    # Inlined MSB-first bit reader: acc/nbits/p as locals.  The stream
-    # is pre-padded so the fill loop needs no bounds check: a refill
-    # tops up to 32 bits, so a well-formed scan reads at most 4 bytes
-    # past its last coefficient; 8 pad bytes cover that.  A truncated
-    # or corrupt stream that decodes past the pad raises IndexError,
-    # converted to ValueError below.
+    # Inlined MSB-first bit reader: acc/nbits/p as locals.  Refills pull
+    # 32 bits at a time with int.from_bytes and mask acc down to its
+    # live window ONLY there (reads below always mask explicitly, so
+    # high garbage bits never escape; masking once per refill instead
+    # of once per coefficient keeps acc a machine-word int).  A
+    # well-formed scan overdraws at most 8 bytes past its last
+    # coefficient (the 0xFF pad); a truncated or corrupt stream that
+    # decodes past the pad fails the refill bounds check.
     data += b"\xff" * 8
+    dlen = len(data)
     acc = 0
     nbits = 0
     p = 0
     mcu_since_rst = 0
-    try:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_since_rst == restart_interval:
-                    nbits -= nbits % 8  # byte-align at restart
-                    acc &= (1 << nbits) - 1
-                    preds = [0] * nc
-                    mcu_since_rst = 0
-                for ci, vs, boff, hs in sched:
-                    m = (my * vs * bdims[ci][0] + mx * hs + boff) << 6
-                    (dc_codes, dc_flat), (ac_codes, ac_flat) = comp_tabs[ci]
-                    idxs = idx_out[ci]
-                    vals = val_out[ci]
-                    # --- DC coefficient
-                    while nbits < 32:
-                        acc = (acc << 8) | data[p]
-                        p += 1
-                        nbits += 8
-                    ent = dc_flat[(acc >> (nbits - 10)) & 1023]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_since_rst == restart_interval:
+                nbits -= nbits % 8  # byte-align at restart
+                preds = [0] * nc
+                mcu_since_rst = 0
+            for (ci, rowmul, boff, hs, dc_flat, dc_codes, ac_flat,
+                 ac_codes, idxs, vals) in sched:
+                m = (my * rowmul + mx * hs + boff) << 6
+                # --- DC coefficient
+                if nbits < 32:
+                    if p + 4 > dlen:
+                        raise ValueError("JPEG: truncated scan data")
+                    acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                        | int.from_bytes(data[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
+                ent = dc_flat[(acc >> (nbits - 10)) & 1023]
+                if ent >= 0:
+                    nbits -= ent >> 8
+                    size = ent & 0xFF
+                else:
+                    size, nbits = _read_long_code(acc, nbits, dc_codes)
+                pred = preds[ci]
+                if size:
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    pred += v
+                    preds[ci] = pred
+                if pred:
+                    idxs.append(m)
+                    vals.append(pred)
+                # --- AC coefficients
+                k = 1
+                while k < 64:
+                    if nbits < 32:
+                        if p + 4 > dlen:
+                            raise ValueError("JPEG: truncated scan data")
+                        acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                            | int.from_bytes(data[p : p + 4], "big")
+                        p += 4
+                        nbits += 32
+                    ent = ac_flat[(acc >> (nbits - 10)) & 1023]
                     if ent >= 0:
                         nbits -= ent >> 8
-                        size = ent & 0xFF
+                        rs = ent & 0xFF
                     else:
-                        size, nbits = _read_long_code(acc, nbits, dc_codes)
-                    if size:
-                        nbits -= size
-                        v = (acc >> nbits) & ((1 << size) - 1)
-                        if v < (1 << (size - 1)):
-                            v -= (1 << size) - 1
-                        preds[ci] += v
-                    pred = preds[ci]
-                    if pred:
-                        idxs.append(m)
-                        vals.append(pred)
-                    acc &= (1 << nbits) - 1
-                    # --- AC coefficients
-                    k = 1
-                    while k < 64:
-                        while nbits < 32:
-                            acc = (acc << 8) | data[p]
-                            p += 1
-                            nbits += 8
-                        ent = ac_flat[(acc >> (nbits - 10)) & 1023]
-                        if ent >= 0:
-                            nbits -= ent >> 8
-                            rs = ent & 0xFF
-                        else:
-                            rs, nbits = _read_long_code(acc, nbits, ac_codes)
-                        size = rs & 0x0F
-                        if size == 0:
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("JPEG: AC index out of range")
-                        nbits -= size
-                        v = (acc >> nbits) & ((1 << size) - 1)
-                        acc &= (1 << nbits) - 1
-                        if v < (1 << (size - 1)):
-                            v -= (1 << size) - 1
-                        idxs.append(m + k)
-                        vals.append(v)
-                        k += 1
-                    # bound acc between blocks (EOB/ZRL paths don't mask)
-                    acc &= (1 << nbits) - 1
-                mcu_since_rst += 1
-    except IndexError:
-        raise ValueError("JPEG: truncated scan data") from None
+                        rs, nbits = _read_long_code(acc, nbits, ac_codes)
+                    size = rs & 0x0F
+                    if size == 0:
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG: AC index out of range")
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    idxs.append(m + k)
+                    vals.append(v)
+                    k += 1
+            mcu_since_rst += 1
     for ci in range(nc):
         if idx_out[ci]:
             zz[ci].reshape(-1)[np.array(idx_out[ci])] = val_out[ci]
