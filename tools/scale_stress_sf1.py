@@ -13,7 +13,7 @@ cover exactly n_polygons rows; replicated-corpus minhash must find at
 least the closed-form count of identical-replica pairs.
 
 Usage:  python tools/scale_stress_sf1.py          (~4-6 min, one run)
-Writes BENCH_round5_sf1.json at the repo root.
+Writes BENCH_round{N}_sf1.json (STRESS_ROUND, default 6) at the repo root.
 """
 
 from __future__ import annotations
@@ -155,6 +155,55 @@ def main() -> None:
     }
     print("flagship_sf1", out["sections"]["flagship_sf1"], flush=True)
 
+    # ---- A2 (round 6): the SAME flagship over the JPEG-compressed twin
+    # corpus — the vectorized entropy encoder + decoder under full scale
+    # load.  Caption consistency stays exact; tile counts may diverge
+    # within the lossy envelope (see inline comments below).
+    n_jpeg = int(os.environ.get("STRESS_JPEG_IMAGES", str(N_IMAGES)))
+    t0 = time.time()
+    jrows = flagship(
+        spark, n_images=n_jpeg, n_polygons=60, res=9, partitions=512,
+        coverage=cov, fmt="jpeg",
+    ).collect()
+    t_jpeg = time.time() - t0
+    jmap = {r["poly_id"]: r for r in jrows}
+    # every poly internally consistent (caption join correct)
+    jbad = [r for r in jrows if r["n_captions"] != r["n_images"]]
+    assert not jbad, jbad[:3]
+    tile_rel = img_mism = None
+    if n_jpeg == N_IMAGES:
+        amap = {r["poly_id"]: r for r in rows}
+        assert set(jmap) == set(amap)
+        # JPEG is LOSSY and tile_images drops nodata(=0) pixels, so a
+        # raw pixel flipping 0<->1 under quantization legitimately
+        # adds/removes tiles; the invariant is closeness, not equality
+        # (pixel-independent aggregates — captions per image — stay
+        # exact above).  An image can even drop out of a poly when its
+        # ONLY tile there flips to nodata, so n_images tolerates a
+        # sub-percent mismatch fraction.
+        a_t = sum(r["n_tiles"] for r in rows)
+        j_t = sum(r["n_tiles"] for r in jrows)
+        tile_rel = abs(a_t - j_t) / max(a_t, 1)
+        assert tile_rel < 0.02, (a_t, j_t, tile_rel)
+        img_mism = sum(
+            1 for p in amap
+            if amap[p]["n_images"] != jmap[p]["n_images"]
+        )
+        assert img_mism <= max(1, len(amap) // 20), img_mism
+    out["sections"]["flagship_jpeg_sf1"] = {
+        "secs": round(t_jpeg, 2),
+        "rows": len(jrows),
+        "n_images": n_jpeg,
+        "sum_tiles": int(sum(r["n_tiles"] for r in jrows)),
+        "tile_rel_diff_vs_raw": tile_rel,
+        "polys_with_n_images_mismatch": img_mism,
+        "images_per_sec": round(n_jpeg / t_jpeg, 1),
+    }
+    print(
+        "flagship_jpeg_sf1", out["sections"]["flagship_jpeg_sf1"],
+        flush=True,
+    )
+
     # ---- B: salted vs broadcast pip_join on the same 24M points
     points = spark.range(0, N_POINTS, 1, CPUS * 2).select(
         F.col("id"),
@@ -274,7 +323,8 @@ def main() -> None:
     time.sleep(2)  # let the event log flush
     out["resource_metrics"] = eventlog_metrics(evdir)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_round5_sf1.json"), "w") as f:
+    rnd = os.environ.get("STRESS_ROUND", "6")
+    with open(os.path.join(here, f"BENCH_round{rnd}_sf1.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
