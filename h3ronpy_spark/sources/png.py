@@ -4,8 +4,11 @@ VERDICT r04 item 3: the multimodal path should exercise a REAL
 compressed format with zero new dependencies.  This module implements a
 spec-complete subset of ISO/IEC 15948 (PNG):
 
-  * decode: 8- and 16-bit greyscale (color type 0) and 8-bit RGB
-    (color type 2), non-interlaced, all five scanline filter types
+  * decode: 8- and 16-bit greyscale (color type 0), 8-bit RGB (2),
+    RGBA (6) and palette (3, with optional tRNS alpha); sequential
+    AND Adam7-interlaced streams (each of the 7 passes is an
+    independently-filtered sub-image, unfiltered then scattered back
+    by strided numpy assignment); all five scanline filter types
     (None/Sub/Up/Average/Paeth), chunk CRC verification.
   * encode: same pixel formats; the row filter is chosen per-row
     (row % 5) so every decoder filter branch is exercised by any
@@ -150,11 +153,63 @@ def encode_png(
     )
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass; a pass whose
+# sub-image is empty contributes NO bytes (not even filter bytes)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_region(raw, off, n_rows, stride, bpp):
+    """Reverse PNG scanline filters over one filtered region (the whole
+    image, or one Adam7 pass — each pass filters against its OWN rows
+    only, so `prev` starts at zeros per region).  Returns
+    (reconstructed bytes, new offset)."""
+    end = off + n_rows * (stride + 1)
+    if end > len(raw):
+        raise ValueError("PNG IDAT length mismatch")
+    recon = bytearray(n_rows * stride)
+    prev = bytes(stride)
+    for y in range(n_rows):
+        base = off + y * (stride + 1)
+        ftype = raw[base]
+        line = raw[base + 1 : base + 1 + stride]
+        row = bytearray(stride)
+        if ftype == 0:  # None
+            row[:] = line
+        elif ftype == 1:  # Sub — per-byte-lane cumsum (uint8 wraps mod 256)
+            lanes = np.frombuffer(line, np.uint8).reshape(-1, bpp)
+            row[:] = np.cumsum(lanes, axis=0, dtype=np.uint8).tobytes()
+        elif ftype == 2:  # Up — vectorizable, the common filter
+            row[:] = (
+                (
+                    np.frombuffer(line, np.uint8).astype(np.uint16)
+                    + np.frombuffer(prev, np.uint8)
+                )
+                & 0xFF
+            ).astype(np.uint8).tobytes()
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: bad filter type {ftype} on row {y}")
+        recon[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    return recon, end
+
+
 def decode_png(blob: bytes) -> np.ndarray:
-    """Decode a non-interlaced greyscale-8/16, RGB-8, RGBA-8 or
-    palette-8 PNG.  Output shape: (h, w) for greyscale, (h, w, 3) for
-    RGB and opaque palette, (h, w, 4) for RGBA and palette-with-tRNS.
-    Verifies chunk CRCs."""
+    """Decode a greyscale-8/16, RGB-8, RGBA-8 or palette-8 PNG,
+    non-interlaced or Adam7-interlaced.  Output shape: (h, w) for
+    greyscale, (h, w, 3) for RGB and opaque palette, (h, w, 4) for RGBA
+    and palette-with-tRNS.  Verifies chunk CRCs."""
     if blob[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -187,9 +242,9 @@ def decode_png(blob: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, bit_depth, color_type, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
-            "only compression=0, filter=0, non-interlaced PNGs supported"
+            "only compression=0, filter=0, interlace 0/1 PNGs supported"
         )
     if (color_type, bit_depth) not in (
         (0, 8), (0, 16), (2, 8), (6, 8), (3, 8)
@@ -201,48 +256,36 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing PLTE chunk")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     bpp = channels * (bit_depth // 8)
-    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    recon = bytearray(h * stride)
-    prev = bytes(stride)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        row = bytearray(stride)
-        if ftype == 0:  # None
-            row[:] = line
-        elif ftype == 1:  # Sub — per-byte-lane cumsum (uint8 wraps mod 256)
-            lanes = np.frombuffer(line, np.uint8).reshape(-1, bpp)
-            row[:] = np.cumsum(lanes, axis=0, dtype=np.uint8).tobytes()
-        elif ftype == 2:  # Up — vectorizable, the common filter
-            row[:] = (
-                (
-                    np.frombuffer(line, np.uint8).astype(np.uint16)
-                    + np.frombuffer(prev, np.uint8)
-                )
-                & 0xFF
-            ).astype(np.uint8).tobytes()
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                row[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+    dtype = np.uint16 if bit_depth == 16 else np.uint8
+
+    def _to_pixels(recon, hs, ws):
+        if bit_depth == 16:
+            sub = np.frombuffer(bytes(recon), ">u2").astype(np.uint16)
         else:
-            raise ValueError(f"PNG: bad filter type {ftype} on row {y}")
-        recon[y * stride : (y + 1) * stride] = row
-        prev = bytes(row)
-    if bit_depth == 16:
-        a = np.frombuffer(bytes(recon), ">u2").astype(np.uint16)
-    else:
-        a = np.frombuffer(bytes(recon), np.uint8)
+            sub = np.frombuffer(bytes(recon), np.uint8)
+        return sub.reshape(hs, ws, channels)
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        recon, _ = _unfilter_region(raw, 0, h, stride, bpp)
+        px = _to_pixels(recon, h, w)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        px = np.zeros((h, w, channels), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ws = (w - x0 + dx - 1) // dx
+            hs = (h - y0 + dy - 1) // dy
+            if ws <= 0 or hs <= 0:
+                continue
+            recon, off = _unfilter_region(raw, off, hs, ws * bpp, bpp)
+            px[y0::dy, x0::dx, :] = _to_pixels(recon, hs, ws)
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
     if color_type == 3:
-        idx = a.reshape(h, w)
+        idx = px[..., 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("PNG palette index out of range")
         rgb = plte[idx]  # (h, w, 3)
@@ -252,8 +295,8 @@ def decode_png(blob: bytes) -> np.ndarray:
         alpha[: trns.size] = trns
         return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
     if channels > 1:
-        return a.reshape(h, w, channels)
-    return a.reshape(h, w)
+        return px
+    return px[..., 0]
 
 
 def png_codec(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:

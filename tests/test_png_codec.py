@@ -262,6 +262,149 @@ class TestPngPure:
             ).all()
 
 
+class TestPngAdam7:
+    """Adam7-interlaced decode (round 6): the interlaced stream is
+    assembled TEST-SIDE from the spec's pass geometry and its own
+    filter implementation, so decode is checked against ISO 15948, not
+    against the codec's own code."""
+
+    PASSES = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    @staticmethod
+    def _row_bytes(sub_row, bit_depth):
+        if bit_depth == 16:
+            return np.ascontiguousarray(sub_row).astype(">u2").tobytes()
+        return np.ascontiguousarray(sub_row).astype(np.uint8).tobytes()
+
+    def _interlaced_png(self, img, color_type, bit_depth=8,
+                        filt_cycle=(0,), plte=None, trns=None):
+        """Serialize img (h, w[, c]) as an Adam7 PNG.  Filters are
+        applied per PASS row (independent re-implementation: None=0,
+        Sub=1, Up=2 — mod-256 byte arithmetic)."""
+        h, w = img.shape[:2]
+        channels = 1 if img.ndim == 2 else img.shape[2]
+        bpp = channels * (bit_depth // 8)
+        body = bytearray()
+        fi = 0
+        for x0, y0, dx, dy in self.PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            prev = np.zeros(sub.shape[1] * bpp, np.uint8)
+            for r in range(sub.shape[0]):
+                row = np.frombuffer(
+                    self._row_bytes(sub[r], bit_depth), np.uint8
+                ).copy()
+                f = filt_cycle[fi % len(filt_cycle)]
+                fi += 1
+                if f == 0:
+                    line = row
+                elif f == 1:  # Sub: minus the byte bpp to the left
+                    left = np.zeros_like(row)
+                    left[bpp:] = row[:-bpp]
+                    line = (row.astype(np.int16) - left) % 256
+                elif f == 2:  # Up: minus the same byte of the prior row
+                    line = (row.astype(np.int16) - prev) % 256
+                else:
+                    raise AssertionError("test helper: unsupported filter")
+                body += bytes([f]) + line.astype(np.uint8).tobytes()
+                prev = row
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1
+        )
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
+        return out + chunk(b"IDAT", zlib.compress(bytes(body))) \
+                   + chunk(b"IEND", b"")
+
+    def test_adam7_all_formats_and_filters(self):
+        rng = np.random.default_rng(11)
+        cases = [
+            ((13, 17), 0, np.uint8, 8),    # grey8
+            ((9, 6), 0, np.uint16, 16),    # grey16
+            ((11, 10, 3), 2, np.uint8, 8), # rgb8
+            ((12, 7, 4), 6, np.uint8, 8),  # rgba8
+        ]
+        for shape, ctype, dt, depth in cases:
+            a = rng.integers(0, np.iinfo(dt).max + 1, size=shape, dtype=dt)
+            blob = self._interlaced_png(
+                a, ctype, depth, filt_cycle=(0, 1, 2)
+            )
+            got = decode_png(blob)
+            assert got.dtype == a.dtype and got.shape == a.shape
+            assert (got == a).all(), (shape, ctype)
+
+    def test_adam7_empty_pass_geometries(self):
+        """Sizes where several passes have zero width or height (which
+        must contribute no bytes at all, not even filter bytes)."""
+        rng = np.random.default_rng(12)
+        for h, w in [(1, 1), (2, 2), (3, 3), (4, 5), (5, 4),
+                     (8, 8), (13, 9), (1, 20), (20, 1)]:
+            a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            assert (decode_png(self._interlaced_png(a, 0)) == a).all(), (h, w)
+
+    def test_adam7_palette_with_trns(self):
+        rng = np.random.default_rng(13)
+        plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (10, 11), dtype=np.uint8)
+        trns = [255] * 15 + [0]  # last entry transparent
+        got = decode_png(
+            self._interlaced_png(idx, 3, plte=plte, trns=trns,
+                                 filt_cycle=(0, 2))
+        )
+        assert got.shape == (10, 11, 4)
+        assert (got[..., :3] == plte[idx]).all()
+        want_a = np.where(idx == 15, 0, 255)
+        assert (got[..., 3] == want_a).all()
+
+    def test_adam7_truncated_and_trailing_raise(self):
+        a = np.arange(81, dtype=np.uint8).reshape(9, 9)
+        blob = self._interlaced_png(a, 0)
+        # rebuild with one extra byte in the compressed body
+        body_ok = decode_png(blob)  # sanity: valid stream decodes
+        assert (body_ok == a).all()
+        def rebuild(extra):
+            # strip IDAT, re-deflate with mutated body
+            import re as _re
+            # simpler: regenerate through the helper then patch
+            raise NotImplementedError
+        # trailing garbage: append a filter byte + row beyond pass 7
+        tail = bytes([0]) + bytes(9)
+        bad = self._interlaced_png(a, 0)
+        # splice: decompress, add tail, recompress, rebuild chunks
+        sig = bad[:8]
+        pos, chunks = 8, []
+        while pos < len(bad):
+            (ln,) = struct.unpack(">I", bad[pos:pos + 4])
+            tag = bad[pos + 4:pos + 8]
+            payload = bad[pos + 8:pos + 8 + ln]
+            chunks.append((tag, payload))
+            pos += 12 + ln
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+        out = sig
+        for tag, payload in chunks:
+            if tag == b"IDAT":
+                payload = zlib.compress(zlib.decompress(payload) + tail)
+            out += chunk(tag, payload)
+        with pytest.raises(ValueError, match="length mismatch"):
+            decode_png(out)
+
+
 def _png_images(spark, n=40, seed=42):
     """The synthetic images table re-encoded as PNG payloads: same
     image_id/w/h/caption/phash as synth_images(n, seed), bytes =
