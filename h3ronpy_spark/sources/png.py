@@ -5,7 +5,8 @@ compressed format with zero new dependencies.  This module implements a
 spec-complete subset of ISO/IEC 15948 (PNG):
 
   * decode: 8- and 16-bit greyscale (color type 0), 8-bit RGB (2),
-    RGBA (6) and palette (3, with optional tRNS alpha); sequential
+    grey+alpha (4), RGBA (6) and palette (3, with optional tRNS
+    alpha); sequential
     AND Adam7-interlaced streams (each of the 7 passes is an
     independently-filtered sub-image, unfiltered then scattered back
     by strided numpy assignment); all five scanline filter types
@@ -57,8 +58,9 @@ def encode_png(
     trns: np.ndarray | None = None,
     filter_type: int | None = None,
 ) -> bytes:
-    """Encode (h, w) uint8/uint16 greyscale, (h, w, 3) uint8 RGB,
-    (h, w, 4) uint8 RGBA, or — with `palette` ((n<=256, 3) uint8) —
+    """Encode (h, w) uint8/uint16 greyscale, (h, w, 2) uint8
+    grey+alpha, (h, w, 3) uint8 RGB, (h, w, 4) uint8 RGBA, or —
+    with `palette` ((n<=256, 3) uint8) —
     (h, w) uint8 palette indices (color type 3, optional `trns` alpha
     table, (m<=n,) uint8).
 
@@ -84,6 +86,8 @@ def encode_png(
         color_type, bit_depth, channels = 0, 8, 1
     elif arr.ndim == 2 and arr.dtype == np.uint16:
         color_type, bit_depth, channels = 0, 16, 1
+    elif arr.ndim == 3 and arr.shape[2] == 2 and arr.dtype == np.uint8:
+        color_type, bit_depth, channels = 4, 8, 2  # grey + alpha
     elif arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
         color_type, bit_depth, channels = 2, 8, 3
     elif arr.ndim == 3 and arr.shape[2] == 4 and arr.dtype == np.uint8:
@@ -206,10 +210,11 @@ def _unfilter_region(raw, off, n_rows, stride, bpp):
 
 
 def decode_png(blob: bytes) -> np.ndarray:
-    """Decode a greyscale-8/16, RGB-8, RGBA-8 or palette-8 PNG,
-    non-interlaced or Adam7-interlaced.  Output shape: (h, w) for
-    greyscale, (h, w, 3) for RGB and opaque palette, (h, w, 4) for RGBA
-    and palette-with-tRNS.  Verifies chunk CRCs."""
+    """Decode a greyscale-8/16, grey+alpha-8, RGB-8, RGBA-8 or
+    palette-8 PNG, non-interlaced or Adam7-interlaced.  Output shape:
+    (h, w) for greyscale, (h, w, 2) for grey+alpha, (h, w, 3) for RGB
+    and opaque palette, (h, w, 4) for RGBA and palette-with-tRNS.
+    Verifies chunk CRCs."""
     if blob[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -247,14 +252,14 @@ def decode_png(blob: bytes) -> np.ndarray:
             "only compression=0, filter=0, interlace 0/1 PNGs supported"
         )
     if (color_type, bit_depth) not in (
-        (0, 8), (0, 16), (2, 8), (6, 8), (3, 8)
+        (0, 8), (0, 16), (2, 8), (4, 8), (6, 8), (3, 8)
     ):
         raise NotImplementedError(
             f"unsupported PNG color_type={color_type} bit_depth={bit_depth}"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     bpp = channels * (bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
     dtype = np.uint16 if bit_depth == 16 else np.uint8

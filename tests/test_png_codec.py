@@ -39,6 +39,7 @@ class TestPngPure:
             ((13, 17), np.uint8),  # grey8, >=5 rows -> all 5 filters
             ((6, 9), np.uint16),  # grey16
             ((11, 5, 3), np.uint8),  # rgb8
+            ((7, 8, 2), np.uint8),  # grey+alpha (color type 4)
             ((1, 1), np.uint8),  # degenerate
             ((64, 64), np.uint8),
         ]
@@ -171,10 +172,20 @@ class TestPngPure:
         check()
 
     def test_unsupported_color_type_raises(self):
-        # color type 4 (grey+alpha) is out of the supported subset
-        blob = self._hand_png(1, 1, [(0, [0, 0])], color_type=4)
+        # 16-bit RGB is out of the supported subset (all five color
+        # types are in at 8 bits; grey is the only 16-bit format)
+        blob = self._hand_png(
+            1, 1, [(0, [0] * 6)], bit_depth=16, color_type=2
+        )
         with pytest.raises(NotImplementedError, match="color_type"):
             decode_png(blob)
+
+    def test_grey_alpha_hand_assembled(self):
+        # color type 4 (grey+alpha), spec stream independent of encoder
+        blob = self._hand_png(2, 1, [(0, [7, 255, 9, 128])], color_type=4)
+        got = decode_png(blob)
+        assert got.shape == (1, 2, 2)
+        assert (got == np.array([[[7, 255], [9, 128]]], np.uint8)).all()
 
     def test_rgba_roundtrip_and_filters(self):
         """Round-6 (VERDICT r05 item 8): RGBA-8 (color type 6), all five
@@ -254,9 +265,11 @@ class TestPngPure:
         for every supported pixel format."""
         rng = np.random.default_rng(5)
         g = rng.integers(0, 256, (10, 6), dtype=np.uint8)
+        ga = rng.integers(0, 256, (10, 6, 2), dtype=np.uint8)
         rgba = rng.integers(0, 256, (10, 6, 4), dtype=np.uint8)
         for ft in range(5):
             assert (decode_png(encode_png(g, filter_type=ft)) == g).all()
+            assert (decode_png(encode_png(ga, filter_type=ft)) == ga).all()
             assert (
                 decode_png(encode_png(rgba, filter_type=ft)) == rgba
             ).all()
@@ -334,6 +347,7 @@ class TestPngAdam7:
             ((13, 17), 0, np.uint8, 8),    # grey8
             ((9, 6), 0, np.uint16, 16),    # grey16
             ((11, 10, 3), 2, np.uint8, 8), # rgb8
+            ((10, 9, 2), 4, np.uint8, 8),  # grey+alpha
             ((12, 7, 4), 6, np.uint8, 8),  # rgba8
         ]
         for shape, ctype, dt, depth in cases:
