@@ -1308,10 +1308,36 @@ def _q_api_parity_ops(spark, sf):
     except ValueError:
         parse_raised = True
     wkb_len = len(A.cells_to_wkb_points(cell)[0])
+    # round-7 fold (VERDICT r06 item 8): the reference-documented 18-digit
+    # DECIMAL literal (its hex reading overflows 2^63 and must fall back;
+    # crates/h3arrow/src/algorithm/string.rs:146) pinned by the oracle,
+    # plus vertex/directededge decimal-form parse roundtrips and the
+    # digit-strict rejection of Rust-invalid forms (ADVICE r06).
+    from h3ronpy_spark.h3core.edges import cells_to_edges, cells_to_vertexes
+
+    dec_cell = int(np.uint64(A.cells_parse(["600436454824345599"])[0]))
+    c64 = np.asarray(A.cells_parse(["600436454824345599"]),
+                     dtype=np.uint64).astype(np.int64)
+    _, edges = cells_to_edges(c64)
+    _, verts = cells_to_vertexes(c64)
+    e, v = int(edges[0]), int(verts[0])
+    edge_rt = bool(A.directededges_parse([str(e)])[0].as_py() == e)
+    vert_rt = bool(A.vertexes_parse([str(v)])[0].as_py() == v)
+    strict_rejected = True
+    for bad in ("0x851f9923fffffff", "+600436454824345599",
+                "851f_9923fffffff"):
+        try:
+            A.cells_parse([bad])
+            strict_rejected = False
+        except ValueError:
+            pass
     return spark.createDataFrame(
-        [(hexstr, rad_ok, rt_ok, gate_raised, parse_raised, wkb_len)],
+        [(hexstr, rad_ok, rt_ok, gate_raised, parse_raised, wkb_len,
+          dec_cell, edge_rt, vert_rt, strict_rejected)],
         "cell_hex string, radians_ok boolean, encode_rt boolean, "
-        "mixed_gate_raised boolean, parse_raised boolean, wkb_len int",
+        "mixed_gate_raised boolean, parse_raised boolean, wkb_len int, "
+        "dec_cell long, dec_edge_rt boolean, dec_vertex_rt boolean, "
+        "strict_rejected boolean",
     )
 
 
@@ -1800,7 +1826,10 @@ def oracle_sql() -> dict[str, str]:
         "h3_golden_string": """
             SELECT '851f9923fffffff' AS cell_hex, true AS radians_ok,
                    true AS encode_rt, true AS mixed_gate_raised,
-                   true AS parse_raised, 21 AS wkb_len
+                   true AS parse_raised, 21 AS wkb_len,
+                   CAST(600436454824345599 AS BIGINT) AS dec_cell,
+                   true AS dec_edge_rt, true AS dec_vertex_rt,
+                   true AS strict_rejected
         """,
         "h3_golden_localij": """
             SELECT CAST(198 AS BIGINT) AS n,

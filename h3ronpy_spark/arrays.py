@@ -17,6 +17,8 @@ All functions take and return plain numpy arrays.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from .h3core import index as _IDX
@@ -255,6 +257,10 @@ def change_resolution_paired(arr, resolution: int):
     )
 
 
+_HEX_DIGITS_RE = re.compile(r"[0-9a-fA-F]+\Z")
+_DEC_DIGITS_RE = re.compile(r"[0-9]+\Z")
+
+
 def _parse_indexes(strings, validator, set_failing_to_invalid, kind):
     # hex is attempted first; decimal is retried whenever the hex
     # interpretation FAILS — including by range/validation, not only by
@@ -262,6 +268,10 @@ def _parse_indexes(strings, validator, set_failing_to_invalid, kind):
     # 18-digit decimal form "600436454824345599" whose hex reading
     # overflows 2^63) — so both candidates are parsed and validated,
     # preferring a valid hex reading.
+    # Digit-strict (ADVICE r06): Python's int(s, base) accepts '0x'
+    # prefixes, '+', and '_' separators that Rust's u64::from_str_radix
+    # (reference parse path) rejects; gate on an explicit digits-only
+    # regex so parse parity is exact.
     n = len(strings)
     hexv = np.full(n, -1, dtype=np.int64)
     decv = np.full(n, -1, dtype=np.int64)
@@ -269,18 +279,14 @@ def _parse_indexes(strings, validator, set_failing_to_invalid, kind):
         if x is None:
             continue
         s = str(x).strip()
-        try:
+        if _HEX_DIGITS_RE.fullmatch(s):
             v = int(s, 16)
-            if 0 <= v < (1 << 63):
+            if v < (1 << 63):
                 hexv[i] = v
-        except ValueError:
-            pass
-        try:
+        if _DEC_DIGITS_RE.fullmatch(s):
             v = int(s, 10)
-            if 0 <= v < (1 << 63):
+            if v < (1 << 63):
                 decv[i] = v
-        except ValueError:
-            pass
     hex_ok = validator(hexv)
     dec_ok = validator(decv)
     out = np.where(hex_ok, hexv, np.where(dec_ok, decv, hexv))

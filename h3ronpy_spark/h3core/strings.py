@@ -18,6 +18,12 @@ _COORD_RE = re.compile(
     r"^\s*(-?\d+(?:\.\d+)?)\s*[,;]\s*(-?\d+(?:\.\d+)?)\s*[,;]\s*(\d+)\s*$"
 )
 
+# Digit-strict (ADVICE r06): Python's int(s, base) accepts '0x' prefixes,
+# signs, and '_' separators that Rust's u64::from_str_radix (the
+# reference's parse path, crates/h3arrow/src/algorithm/string.rs) rejects.
+_HEX_DIGITS_RE = re.compile(r"[0-9a-fA-F]+\Z")
+_DEC_DIGITS_RE = re.compile(r"[0-9]+\Z")
+
 
 def cells_to_string(h) -> np.ndarray:
     """int64 cells -> lowercase hex strings (object array); None for null
@@ -62,16 +68,12 @@ def cells_parse(strings, set_failing_to_invalid: bool = False) -> np.ndarray:
             continue
         s = str(s).strip()
         hv = dv = None
-        try:
+        if _HEX_DIGITS_RE.fullmatch(s):
             hv = int(s, 16)
-        except ValueError:
-            pass
         v = _as_valid(hv)
         if v is None:
-            try:
+            if _DEC_DIGITS_RE.fullmatch(s):
                 dv = int(s, 10)
-            except ValueError:
-                pass
             v = _as_valid(dv)
         if v is not None:
             out[i] = v

@@ -5,8 +5,9 @@ metadata (source snapshot-id, partition range, cell-resolution) so any
 executor failure resumes without recompute, emits per-partition
 throughput/skew metrics".
 
-Design (works the same over Iceberg snapshots on a real cluster — here the
-"snapshot id" is the deterministic generation seed + row-count):
+Design (the same manifest/claim layout would sit next to Iceberg
+snapshots on a real deployment — here the "snapshot id" is the
+deterministic generation seed + row-count):
 
   * the source is processed in SHARDS (contiguous id ranges); each shard is
     one Spark job writing one output subdirectory
@@ -15,16 +16,29 @@ Design (works the same over Iceberg snapshots on a real cluster — here the
     wall seconds, rows/sec, and per-partition row-count skew stats
   * resume = read manifest, skip completed shards (anti-join on shard_id);
     a killed run restarts mid-list with zero recompute of finished shards
-  * CONCURRENT writers (round 6, VERDICT r05 item 9): before computing a
-    shard, a writer must win its claim file (O_CREAT|O_EXCL in the
-    manifest dir — atomic on POSIX and on HDFS/S3A-with-guard semantics
-    via create-no-overwrite).  Two drivers resuming the same manifest dir
-    therefore partition the outstanding shards between them; a shard's
-    output subdirectory is written by exactly one live writer.  A writer
-    that dies mid-shard leaves its claim behind; claims older than
-    `stale_claim_secs` with no manifest row are stolen (best-effort: the
-    steal itself is last-replace-wins, acceptable because shard outputs
-    are deterministic and the manifest commit is atomic either way).
+  * CONCURRENT writers (round 6, VERDICT r05 item 9; hardened round 7,
+    ADVICE r06): before computing a shard, a writer must hold that
+    shard's claim — an exclusive kernel `flock` on the claim file in the
+    manifest dir, held for the whole shard computation.  Liveness is the
+    lock itself: a writer that dies (even SIGKILL) has its lock released
+    by the kernel, so the shard is reclaimable IMMEDIATELY, and a live
+    writer whose shard legitimately runs for hours can never be stolen
+    from — there is no staleness timeout to outlive.  Shard output is
+    written to a writer-unique temp directory and renamed into place
+    under the held claim, so two writers never run concurrent writes on
+    the same output directory; the manifest commit re-verifies claim
+    ownership (same inode still at the claim path) immediately before
+    the atomic os.replace and abandons the commit otherwise.
+
+SCOPE: this claim protocol is LOCAL-FILESYSTEM (POSIX flock) ONLY.  It
+is correct for one multi-process host (the local[32] target here) and
+for drivers sharing a POSIX-semantics mount.  It does NOT address
+hdfs:// or s3a:// URIs — plain S3 has no atomic create-no-overwrite and
+no advisory locks — so a cluster deployment over an object store needs
+a conditional-put (S3 If-None-Match / DynamoDB lock table) or the
+table format's own commit protocol (Iceberg optimistic snapshot commit)
+in place of the claim files.  The manifest/resume layer above the claim
+is storage-agnostic.
 
 Metric caveat: `skew_max_over_mean` is derived from written part-file
 row counts, which equal compute-partition row counts only while each
@@ -35,8 +49,10 @@ in that case rather than silently wrong.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import shutil
 import time
 import uuid
 from collections.abc import Callable
@@ -92,37 +108,107 @@ def _claim_path(base: str, sid: int) -> str:
     return os.path.join(_manifest_dir(base), f"claim-{sid:05d}")
 
 
-def try_claim_shard(base: str, sid: int, stale_claim_secs: float) -> bool:
-    """Win the exclusive right to compute shard `sid`.
+class ShardClaim:
+    """Exclusive ownership of one shard, held as a kernel flock.
 
-    O_CREAT|O_EXCL makes live-writer claims mutually exclusive; a claim
-    left by a dead writer (no manifest row) is stolen once older than
-    `stale_claim_secs`."""
-    path = _claim_path(base, sid)
-    payload = json.dumps({"pid": os.getpid(), "ts": time.time()}).encode()
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    The lock lives exactly as long as `fd` is open: process death —
+    including SIGKILL mid-shard — releases it automatically, so there
+    is no stale-timeout window in which a live-but-slow writer could be
+    stolen from (ADVICE r06 medium), and a dead writer's shard is
+    reclaimable with zero wait.
+    """
+
+    def __init__(self, path: str, fd: int, writer_id: str):
+        self.path = path
+        self.fd: int | None = fd
+        self.writer_id = writer_id
+
+    def owner_check(self) -> bool:
+        """True iff our locked fd is still THE claim file at `path`.
+
+        Re-verified immediately before every manifest commit: if some
+        out-of-band actor unlinked or replaced the claim file, the
+        inodes differ and the commit is abandoned.
+        """
+        if self.fd is None:
+            return False
         try:
-            os.write(fd, payload)
+            return os.fstat(self.fd).st_ino == os.stat(self.path).st_ino
+        except OSError:
+            return False
+
+    def release(self, unlink: bool = True) -> None:
+        """Drop the claim.  unlink=False simulates a hard-killed writer
+        (claim file left behind, lock gone) — used by tests."""
+        if self.fd is None:
+            return
+        if unlink:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+        try:
+            os.close(self.fd)
         finally:
+            self.fd = None
+
+    def __bool__(self) -> bool:
+        return self.fd is not None
+
+    def __del__(self):  # belt-and-braces: never leak the fd
+        if getattr(self, "fd", None) is not None:
+            try:
+                os.close(self.fd)
+            except OSError:
+                pass
+
+
+def try_claim_shard(
+    base: str, sid: int, stale_claim_secs: float | None = None
+) -> ShardClaim | None:
+    """Win the exclusive right to compute shard `sid`, or None.
+
+    Exclusion and liveness both come from `flock(LOCK_EX | LOCK_NB)` on
+    the claim file: a live holder (thread or process) blocks everyone
+    else; a dead holder's lock is released by the kernel.
+
+    `stale_claim_secs` is accepted for backward compatibility and
+    ignored — mtime-based staleness is superseded by lock liveness
+    (the old protocol could steal from a live writer whose shard ran
+    longer than the timeout and then corrupt its output; see module
+    docstring).
+    """
+    path = _claim_path(base, sid)
+    writer_id = uuid.uuid4().hex
+    for _ in range(8):
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
             os.close(fd)
-        return True
-    except FileExistsError:
-        pass
-    try:
-        age = time.time() - os.path.getmtime(path)
-    except OSError:
-        return False  # claim vanished mid-check; let the next pass sort it
-    if stale_claim_secs > 0 and age <= stale_claim_secs:
-        return False  # live co-writer (stale_claim_secs=0 always steals)
-    tmp = path + f".steal-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(payload.decode())
-    os.replace(tmp, path)
-    return True
+            return None  # a live writer owns this shard
+        # we hold a lock — but possibly on an orphaned inode if the
+        # previous owner unlinked the file between our open and our
+        # flock; verify the path still points at what we locked
+        try:
+            same = os.fstat(fd).st_ino == os.stat(path).st_ino
+        except OSError:
+            same = False
+        if not same:
+            os.close(fd)
+            continue
+        payload = json.dumps(
+            {"writer": writer_id, "pid": os.getpid(), "ts": time.time()}
+        ).encode()
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, payload, 0)
+        return ShardClaim(path, fd, writer_id)
+    return None
 
 
 def release_claim(base: str, sid: int) -> None:
+    """Best-effort unlink of a claim file (legacy helper; prefer
+    ShardClaim.release which also drops the lock)."""
     try:
         os.unlink(_claim_path(base, sid))
     except OSError:
@@ -137,20 +223,24 @@ def run_sharded(
     cell_res: int,
     shard_fn: Callable[[SparkSession, int, int, int], DataFrame],
     snapshot_id: str | None = None,
-    stale_claim_secs: float = 3600.0,
+    stale_claim_secs: float | None = None,
 ) -> str:
     """Process id range [0, n_rows) in `n_shards` shards with resume.
 
     shard_fn(spark, shard_id, id_start, id_end) -> output DataFrame; output
     is written to <base>/shard=<id>/ as parquet.  Returns `base`.
 
-    Safe for CONCURRENT drivers on one manifest dir: each outstanding
-    shard is computed by exactly one live writer (claim files, module
-    docstring).  A run returns when every shard is done or claimed by
-    another writer — re-invoke (or wait on the manifest) to confirm
-    completion when racing.  A driver restarting after a hard kill
-    (claim left behind, no manifest row) that KNOWS it is the sole
-    writer may pass stale_claim_secs=0 to reclaim immediately."""
+    Safe for CONCURRENT drivers on one manifest dir (local POSIX
+    filesystem — see module docstring for the object-store caveat):
+    each outstanding shard is computed by exactly one live writer
+    (flock-held claims), shard output lands via writer-unique temp dir
+    + rename so no two writers ever write one output directory, and
+    the manifest commit re-verifies claim ownership first.  A run
+    returns when every shard is done or held by another live writer —
+    re-invoke (or wait on the manifest) to confirm completion when
+    racing.  A writer that dies mid-shard releases its claim lock
+    automatically; any resumer reclaims the shard immediately.
+    """
     os.makedirs(_manifest_dir(base), exist_ok=True)
     snapshot_id = snapshot_id or f"synth-seed42-n{n_rows}"
     done = completed_shards(spark, base)
@@ -159,33 +249,38 @@ def run_sharded(
         mfile = os.path.join(_manifest_dir(base), f"shard-{sid:05d}.json")
         if sid in done or os.path.isfile(mfile):
             continue
-        if not try_claim_shard(base, sid, stale_claim_secs):
+        claim = try_claim_shard(base, sid)
+        if claim is None:
             continue  # a live concurrent writer owns this shard
-        if os.path.isfile(mfile):
-            # completed by a co-writer between our check and our claim;
-            # the manifest re-check under claim exclusion is what makes
-            # shard computation exactly-once across racing drivers
-            release_claim(base, sid)
-            continue
-        lo, hi = sid * per, min((sid + 1) * per, n_rows)
-        t0 = time.time()
-        # ONE job per shard (round-5): the row count rides the write
-        # action via Observation, and the per-partition skew metric is
-        # read back from the written parquet FOOTERS (each write task
-        # emits one part file, so file row counts == compute-partition
-        # row counts; footer reads are driver-side metadata, no second
-        # scan).  The previous shape ran a stats aggregation action and
-        # THEN the write — the whole shard_fn (decode + tile at 100 TB)
-        # executed twice.
+        tmp_out = os.path.join(
+            base, f".tmp-shard-{sid:05d}-{claim.writer_id}"
+        )
         try:
+            if os.path.isfile(mfile):
+                # completed by a co-writer between our check and our
+                # claim; the manifest re-check under claim exclusion is
+                # what makes shard computation exactly-once across
+                # racing drivers
+                continue
+            lo, hi = sid * per, min((sid + 1) * per, n_rows)
+            t0 = time.time()
+            # ONE job per shard (round-5): the row count rides the write
+            # action via Observation, and the per-partition skew metric is
+            # read back from the written parquet FOOTERS (each write task
+            # emits one part file, so file row counts == compute-partition
+            # row counts; footer reads are driver-side metadata, no second
+            # scan).  The previous shape ran a stats aggregation action and
+            # THEN the write — the whole shard_fn (decode + tile at 100 TB)
+            # executed twice.
             from pyspark.sql import Observation
 
             obs = Observation(f"shard-{sid}")
             out = shard_fn(spark, sid, lo, hi).observe(
                 obs, F.count(F.lit(1)).alias("rows")
             )
-            shard_path = os.path.join(base, f"shard={sid}")
-            out.write.mode("overwrite").parquet(shard_path)
+            # writer-unique temp dir: even under protocol violations no
+            # two writers ever run concurrent writes on one directory
+            out.write.mode("overwrite").parquet(tmp_out)
             secs = time.time() - t0
             rows = int(obs.get["rows"] or 0)
             import glob as _glob
@@ -201,13 +296,23 @@ def run_sharded(
                 fcounts = [
                     _pq.read_metadata(f).num_rows
                     for f in _glob.glob(
-                        os.path.join(shard_path, "part-*.parquet")
+                        os.path.join(tmp_out, "part-*.parquet")
                     )
                 ]
                 fcounts = [c for c in fcounts if c > 0] or [0]
                 mx = max(fcounts)
                 mean = (sum(fcounts) / len(fcounts)) if fcounts else 0.0
                 skew = round(mx / mean, 3) if mean else 0.0
+            # publish: still-owner check, then rename into place.  A
+            # pre-existing shard dir here can only be an uncommitted
+            # leftover (writer died between rename and manifest commit)
+            # — safe to replace under our exclusive claim.
+            shard_path = os.path.join(base, f"shard={sid}")
+            if not claim.owner_check():
+                continue  # claim file replaced out-of-band: abandon
+            if os.path.isdir(shard_path):
+                shutil.rmtree(shard_path)
+            os.rename(tmp_out, shard_path)
             row = {
                 "shard_id": sid,
                 "id_start": lo,
@@ -224,14 +329,17 @@ def run_sharded(
             )
             with open(tmp, "w") as fh:
                 json.dump(row, fh)
+            # ownership re-verified immediately before the commit
+            # (ADVICE r06): if we somehow lost the claim, the manifest
+            # must not mark the shard done on our behalf
+            if not claim.owner_check():
+                os.unlink(tmp)
+                continue
             os.replace(tmp, mfile)
-            # success: the manifest row is now the durable completion
-            # record; drop the claim so dir listings stay clean (a claim
-            # on disk always means "being computed or writer died")
-            release_claim(base, sid)
-        except BaseException:
-            # free the claim so a co-writer (or the retry) can take the
-            # shard immediately instead of waiting out the stale timeout
-            release_claim(base, sid)
-            raise
+        finally:
+            # success or failure: free the claim (manifest row is the
+            # durable completion record) and sweep the temp dir so a
+            # co-writer or retry can take the shard immediately
+            shutil.rmtree(tmp_out, ignore_errors=True)
+            claim.release()
     return base

@@ -655,13 +655,23 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     nxt[inb] = seg_arr[ffs[inb] + 1]
     stuffed = nxt == 0x00
     rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    term = ~stuffed & ~rst
+    # T.81 B.1.1.2 permits 0xFF FILL bytes before any marker (seen in
+    # the wild before RSTn): FF followed by FF is a fill byte, not the
+    # scan terminator — drop the first FF and rescan from the second
+    # (which is itself the next ffs entry).  ADVICE r06.
+    fill = nxt == 0xFF
+    term = ~stuffed & ~rst & ~fill
     term_idx = int(ffs[term][0]) if term.any() else len(seg)
     before = ffs < term_idx
+    keep = before & ~term
     pieces = []
     prev = 0
-    for i, st in zip(ffs[before & ~term].tolist(),
-                     stuffed[before & ~term].tolist()):
+    for i, st, fl in zip(ffs[keep].tolist(), stuffed[keep].tolist(),
+                         fill[keep].tolist()):
+        if fl:
+            pieces.append(seg[prev:i])  # drop the fill FF only
+            prev = i + 1
+            continue
         # stuffed FF00: keep the FF, drop the 00; RSTn: drop both bytes
         pieces.append(seg[prev : i + 1] if st else seg[prev:i])
         prev = i + 2

@@ -154,6 +154,33 @@ class TestJpegPure:
         assert got.shape == (8, 16)
         assert (got == 160).all()
 
+    def test_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: 0xFF FILL bytes may precede any marker (seen
+        in third-party streams before RSTn/EOI).  They must be skipped,
+        not classified as the scan terminator (ADVICE r06)."""
+        q = bytes([0]) + bytes([16] * 64)
+        dqt = b"\xff\xdb" + struct.pack(">H", 2 + len(q)) + q
+        sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+        sof_m = b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        bits = [0, 1] + [0] * 14
+        payload = (
+            bytes([0x00]) + bytes(bits) + bytes([5])
+            + bytes([0x10]) + bytes(bits) + bytes([0x00])
+        )
+        dht = b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        sos_m = b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        mcu = bytes([0x20, 0x7F])
+        # one fill FF before RST0, two fill FFs before EOI
+        blob = (
+            b"\xff\xd8" + dqt + sof_m + dht + dri + sos_m
+            + mcu + b"\xff" + b"\xff\xd0" + mcu + b"\xff\xff" + b"\xff\xd9"
+        )
+        got = decode_jpeg(blob)
+        assert got.shape == (8, 16)
+        assert (got == 160).all()
+
     def test_bad_streams_raise(self):
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x00\x01")

@@ -235,6 +235,27 @@ class TestTopLevelAllParity:
         pv = H.vertexes_parse([f"{vv:x}", str(vv)])
         assert pv[0].as_py() == vv and pv[1].as_py() == vv
 
+    def test_parse_indexes_digit_strict(self):
+        """ADVICE r06 (low): Rust u64::from_str_radix rejects '0x'
+        prefixes, signs, and '_' separators that Python's int() accepts;
+        parse parity must reject them too."""
+        import pytest
+        import h3ronpy_spark as H
+
+        good = "85283473fffffff"
+        for bad in (f"0x{good}", f"0X{good}", f"+{good}",
+                    "8528_3473fffffff", f"-{good}",
+                    "+600436454824345599", "600_436454824345599"):
+            with pytest.raises(ValueError):
+                H.cells_parse([bad])
+            masked = H.cells_parse([bad], set_failing_to_invalid=True)
+            from h3ronpy_spark.h3core import index as IDX
+            assert not IDX.is_valid_cell(masked)[0], bad
+        # plain digits still parse both radixes
+        assert int(H.cells_parse([good])[0]) == int(good, 16)
+        assert int(np.uint64(H.cells_parse(["600436454824345599"])[0])) \
+            == 600436454824345599
+
     def test_grid_ring_inverted_range_raises(self):
         """ADVICE r05 (low): k_min >= k_max raises like the reference
         (h3ronpy/src/op/neighbor.rs:62-64)."""

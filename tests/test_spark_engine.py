@@ -324,9 +324,10 @@ class TestCheckpoint:
         shutil.rmtree(base)
 
     def test_live_claim_blocks_second_writer(self, spark, tmp_path):
-        """A live (non-stale) claim makes a second writer SKIP the
-        shard; a stale claim (or stale_claim_secs=0 after a hard kill)
-        is reclaimed and the shard completes."""
+        """A LIVE claim (flock held) makes a second writer SKIP the
+        shard — no matter how long the holder runs (no stale timeout to
+        outlive, ADVICE r06).  A dead writer's claim (lock released,
+        file left behind) is reclaimed immediately."""
         from h3ronpy_spark.plans.checkpoint import (
             completed_shards,
             run_sharded,
@@ -335,9 +336,10 @@ class TestCheckpoint:
 
         base = str(tmp_path / "ckpt_claim")
         os.makedirs(os.path.join(base, "_manifest"), exist_ok=True)
-        # writer A holds shard 1 (simulated mid-compute / hard-killed)
-        assert try_claim_shard(base, 1, 3600.0)
-        assert not try_claim_shard(base, 1, 3600.0)  # exclusion holds
+        # writer A holds shard 1 mid-compute (lock held via open fd)
+        hold = try_claim_shard(base, 1)
+        assert hold
+        assert try_claim_shard(base, 1) is None  # exclusion holds
         calls = []
 
         def shard_fn(s, sid, lo, hi):
@@ -348,15 +350,100 @@ class TestCheckpoint:
                     shard_fn=shard_fn)
         assert sorted(calls) == [0, 2]  # shard 1 skipped: A owns it
         assert completed_shards(spark, base) == {0, 2}
-        # A died without committing: reclaim immediately as sole writer
+        # A hard-killed: kernel drops the lock, claim FILE stays behind.
+        # Reclaim is immediate — no stale_claim_secs wait.
+        hold.release(unlink=False)
         calls.clear()
         run_sharded(spark, base, n_rows=90, n_shards=3, cell_res=8,
-                    shard_fn=shard_fn, stale_claim_secs=0.0)
+                    shard_fn=shard_fn)
         assert calls == [1]
         assert completed_shards(spark, base) == {0, 1, 2}
         total = spark.read.parquet(os.path.join(base, "shard=*")).count()
         assert total == 90
         shutil.rmtree(base)
+
+    def test_killed_writer_claim_reclaimed_exactly_once(self, spark, tmp_path):
+        """Forced-stale race (VERDICT r06 item 6): a real subprocess
+        claims a shard and is SIGKILLed mid-hold.  While it lives, the
+        claim is un-stealable; the instant it dies the kernel releases
+        the flock and a resumer reclaims with zero wait.  The shard is
+        then computed exactly once even with two racing resumers."""
+        import signal
+        import subprocess
+        import sys
+        import threading
+        import time as _time
+
+        from h3ronpy_spark.plans.checkpoint import (
+            completed_shards,
+            run_sharded,
+            try_claim_shard,
+        )
+
+        base = str(tmp_path / "ckpt_kill")
+        os.makedirs(os.path.join(base, "_manifest"), exist_ok=True)
+        ready = str(tmp_path / "ready")
+        child = subprocess.Popen(
+            [sys.executable, "-c", (
+                "import sys, time; sys.path.insert(0, %r);"
+                "from h3ronpy_spark.plans.checkpoint import try_claim_shard;"
+                "c = try_claim_shard(%r, 1); assert c;"
+                "open(%r, 'w').close(); time.sleep(600)"
+            ) % ("/root/repo", base, ready)],
+        )
+        try:
+            for _ in range(200):
+                if os.path.exists(ready):
+                    break
+                _time.sleep(0.05)
+            assert os.path.exists(ready), "child never claimed"
+            # live child: claim is un-stealable from this process
+            assert try_claim_shard(base, 1) is None
+            child.send_signal(signal.SIGKILL)
+            child.wait(timeout=30)
+            # dead child: reclaim races — exactly one of two concurrent
+            # resumers computes each outstanding shard, immediately
+            calls, lock = [], threading.Lock()
+
+            def shard_fn(s, sid, lo, hi):
+                with lock:
+                    calls.append(sid)
+                return s.range(lo, hi).select(F.col("id").alias("x"))
+
+            def runner():
+                run_sharded(spark, base, n_rows=60, n_shards=3,
+                            cell_res=8, shard_fn=shard_fn)
+
+            ts = [threading.Thread(target=runner) for _ in range(2)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert sorted(calls) == [0, 1, 2], calls
+            assert completed_shards(spark, base) == {0, 1, 2}
+            total = spark.read.parquet(
+                os.path.join(base, "shard=*")).count()
+            assert total == 60
+        finally:
+            if child.poll() is None:
+                child.kill()
+        shutil.rmtree(base)
+
+    def test_commit_abandoned_when_ownership_lost(self, tmp_path):
+        """owner_check is re-verified before the manifest os.replace:
+        an out-of-band replacement of the claim file (the old protocol's
+        steal) makes the holder abandon, never mark the shard done."""
+        from h3ronpy_spark.plans.checkpoint import try_claim_shard
+
+        base = str(tmp_path / "ckpt_own")
+        os.makedirs(os.path.join(base, "_manifest"), exist_ok=True)
+        claim = try_claim_shard(base, 0)
+        assert claim and claim.owner_check()
+        # out-of-band unlink + recreate (different inode)
+        os.unlink(claim.path)
+        open(claim.path, "w").close()
+        assert not claim.owner_check()
+        claim.release(unlink=False)
 
 
 class TestStreaming:
