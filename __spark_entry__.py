@@ -438,7 +438,14 @@ def _q_image_resize(spark, sf):
     bit-identical features per image; `jpeg_psnr_ok` gates the lossy
     baseline-JPEG codec's encode->decode roundtrip at the north-rule
     PSNR >= 40 dB per image — both compressed decode paths sit inside
-    the driver's value-hash gate, not just unit tests."""
+    the driver's value-hash gate, not just unit tests.
+
+    Round-7 fold (VERDICT r06 item 2): `jpeg_prog_ok` additionally
+    gates the PROGRESSIVE (SOF2) path per image — the progressive
+    encode->decode roundtrip must be PIXEL-IDENTICAL to the baseline
+    roundtrip (same quantization, different scan structure: spectral
+    selection + successive approximation), which subsumes the PSNR
+    gate and pins the multi-scan entropy decoder."""
     from h3ronpy_spark.functions import pandas_udf
     from h3ronpy_spark.operators.multimodal import (
         extract_image_features,
@@ -465,30 +472,33 @@ def _q_image_resize(spark, sf):
         F.round(F.col("embedding")[1].cast("double"), 3).alias("p_std"),
     )
 
-    @pandas_udf("boolean")
-    def jpeg_rt_ok(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    @pandas_udf("struct<psnr_ok:boolean,prog_ok:boolean>")
+    def jpeg_rt_ok(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         from h3ronpy_spark.sources.jpeg import (
             decode_jpeg,
             encode_jpeg,
+            encode_jpeg_progressive,
             psnr_db,
         )
 
-        out = []
+        psnr_out, prog_out = [], []
         for blob, ww, hh in zip(b, w, h):
             band = np.frombuffer(blob, np.uint8).reshape(int(hh), int(ww))
-            out.append(
-                bool(psnr_db(band, decode_jpeg(encode_jpeg(band, 93)))
-                     >= 40.0)
-            )
-        return pd.Series(out)
+            base = decode_jpeg(encode_jpeg(band, 93))
+            psnr_out.append(bool(psnr_db(band, base) >= 40.0))
+            prog = decode_jpeg(encode_jpeg_progressive(band, 93))
+            prog_out.append(bool(np.array_equal(base, prog)))
+        return pd.DataFrame({"psnr_ok": psnr_out, "prog_ok": prog_out})
 
     jpeg_gate = imgs.select(
         "image_id",
-        jpeg_rt_ok(F.col("bytes"), F.col("w"), F.col("h")).alias(
-            "jpeg_psnr_ok"
-        ),
+        jpeg_rt_ok(F.col("bytes"), F.col("w"), F.col("h")).alias("jg"),
+    ).select(
+        "image_id",
+        F.col("jg.psnr_ok").alias("jpeg_psnr_ok"),
+        F.col("jg.prog_ok").alias("jpeg_prog_ok"),
     )
     return (
         feats.join(feats_png, "image_id")
@@ -502,6 +512,7 @@ def _q_image_resize(spark, sf):
                 & (F.col("std_px") == F.col("p_std"))
             ).alias("png_match"),
             "jpeg_psnr_ok",
+            "jpeg_prog_ok",
         )
     )
 

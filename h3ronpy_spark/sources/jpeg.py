@@ -560,8 +560,52 @@ def _read_long_code(acc: int, nbits: int, codes: dict) -> tuple[int, int]:
     raise ValueError("JPEG: invalid Huffman code in scan")
 
 
+def _unstuff_scan(blob: bytes, scan_start: int) -> tuple[bytes, int]:
+    """Unstuff one entropy-coded segment starting at `scan_start`.
+
+    Vectorized: locate every 0xFF with numpy, then splice around the
+    (rare) stuffed/RST/fill pairs with O(#markers) slices instead of a
+    per-byte Python loop.  Handles T.81 B.1.1.2 0xFF FILL bytes before
+    markers (ADVICE r06): FF followed by FF drops the first FF and
+    rescans from the second.
+
+    Returns (data, end): `data` is the unstuffed entropy bytes with RST
+    markers removed (restart boundaries stay byte-aligned because RSTn
+    is byte-aligned in the stream), `end` is the ABSOLUTE offset of the
+    terminating marker's 0xFF (or len(blob)) so a multi-scan parser can
+    continue from the next marker."""
+    seg = blob[scan_start:]
+    seg_arr = np.frombuffer(seg, np.uint8)
+    ffs = np.flatnonzero(seg_arr == 0xFF)
+    nxt = np.full(ffs.shape, 0xD9, np.uint8)  # trailing FF ends the scan
+    inb = ffs + 1 < seg_arr.shape[0]
+    nxt[inb] = seg_arr[ffs[inb] + 1]
+    stuffed = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    fill = nxt == 0xFF
+    term = ~stuffed & ~rst & ~fill
+    term_idx = int(ffs[term][0]) if term.any() else len(seg)
+    before = ffs < term_idx
+    keep = before & ~term
+    pieces = []
+    prev = 0
+    for i, st, fl in zip(ffs[keep].tolist(), stuffed[keep].tolist(),
+                         fill[keep].tolist()):
+        if fl:
+            pieces.append(seg[prev:i])  # drop the fill FF only
+            prev = i + 1
+            continue
+        # stuffed FF00: keep the FF, drop the 00; RSTn: drop both bytes
+        pieces.append(seg[prev : i + 1] if st else seg[prev:i])
+        prev = i + 2
+    pieces.append(seg[prev:term_idx])
+    return b"".join(pieces), scan_start + term_idx
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (greyscale or YCbCr 4:4:4)."""
+    """Decode a baseline sequential JPEG (greyscale or YCbCr 4:4:4).
+
+    Progressive (SOF2) streams are dispatched to _decode_progressive."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -623,10 +667,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     "register a libjpeg-backed codec for such streams"
                 )
             sof = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive (round 7)
+            return _decode_progressive(blob)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman JPEG supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -643,40 +690,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = sof
 
-    # Unstuff the entropy-coded segment up to the next non-RST marker.
-    # Vectorized: locate every 0xFF with numpy, then splice around the
-    # (rare) stuffed/RST pairs with O(#markers) slices instead of a
-    # per-byte Python loop.
-    seg = blob[scan_start:]
-    seg_arr = np.frombuffer(seg, np.uint8)
-    ffs = np.flatnonzero(seg_arr == 0xFF)
-    nxt = np.full(ffs.shape, 0xD9, np.uint8)  # trailing FF ends the scan
-    inb = ffs + 1 < seg_arr.shape[0]
-    nxt[inb] = seg_arr[ffs[inb] + 1]
-    stuffed = nxt == 0x00
-    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    # T.81 B.1.1.2 permits 0xFF FILL bytes before any marker (seen in
-    # the wild before RSTn): FF followed by FF is a fill byte, not the
-    # scan terminator — drop the first FF and rescan from the second
-    # (which is itself the next ffs entry).  ADVICE r06.
-    fill = nxt == 0xFF
-    term = ~stuffed & ~rst & ~fill
-    term_idx = int(ffs[term][0]) if term.any() else len(seg)
-    before = ffs < term_idx
-    keep = before & ~term
-    pieces = []
-    prev = 0
-    for i, st, fl in zip(ffs[keep].tolist(), stuffed[keep].tolist(),
-                         fill[keep].tolist()):
-        if fl:
-            pieces.append(seg[prev:i])  # drop the fill FF only
-            prev = i + 1
-            continue
-        # stuffed FF00: keep the FF, drop the 00; RSTn: drop both bytes
-        pieces.append(seg[prev : i + 1] if st else seg[prev:i])
-        prev = i + 2
-    pieces.append(seg[prev:term_idx])
-    data = b"".join(pieces)
+    # Unstuff the entropy-coded segment up to the next non-RST marker
+    # (shared with the progressive multi-scan parser).
+    data, _ = _unstuff_scan(blob, scan_start)
     nc = len(comps)
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
@@ -802,8 +818,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if idx_out[ci]:
             zz[ci].reshape(-1)[np.array(idx_out[ci])] = val_out[ci]
 
-    # vectorized dequant + IDCT per component, then integer-ratio
-    # chroma upsampling (pixel replication) and crop
+    return _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax)
+
+
+def _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax):
+    """Vectorized dequant + IDCT per component, then integer-ratio
+    chroma upsampling (pixel replication) and crop.  Shared by the
+    baseline and progressive decode paths."""
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         q = qtables.get(tq)
@@ -826,10 +847,682 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if rx > 1:
             plane = np.repeat(plane, rx, axis=1)
         planes.append(plane[:fh, :fw])
-    if nc == 1:
+    if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — T.81 Annex G.2 (round 7, VERDICT r06 item 2)
+# ---------------------------------------------------------------------------
+#
+# Spectral selection + successive approximation over the same flat-LUT
+# entropy framework as the baseline path: each scan is unstuffed once
+# (_unstuff_scan), decoded with the inlined 32-bit-refill bit reader,
+# and coefficient updates are collected sparsely and applied to the
+# per-component coefficient planes in ONE vectorized scatter per scan
+# (first scans) / in-place for refinement scans (which must read the
+# coefficient history).  The IDCT/upsample tail is the shared
+# vectorized _reconstruct.
+#
+# Reference behavior target: h3ronpy's raster tests decode whatever
+# rasterio/GDAL decodes (h3ronpy/tests/arrow/test_raster.py:21-22);
+# progressive JPEG is the dominant large-photo web encoding, so a
+# 100-TB corpus ingest must accept SOF2 streams.
+
+
+def _decode_progressive(blob: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) Huffman JPEG.
+
+    Supports the full G.2 scan vocabulary: interleaved and
+    non-interleaved DC scans, DC/AC first and refinement passes,
+    spectral selection bands, EOBn runs, and restart intervals
+    (which may change between scans via DRI)."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, tuple[dict, list]] = {}
+    sof = None
+    restart_interval = 0
+    zz: list[np.ndarray] = []
+    bdims: list[tuple[int, int]] = []
+    n = len(blob)
+    while pos < n:
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker: consume one FF
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > n:
+            raise ValueError("JPEG: truncated stream")
+        (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
+        if pos + seglen > n:
+            raise ValueError("JPEG: truncated stream")
+        seg = blob[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tab = np.frombuffer(
+                    seg[p + 1 : p + 65], np.uint8
+                ).astype(np.int32)
+                qtables[tq] = tab[_UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (tables may be redefined per scan)
+            p = 0
+            while p < len(seg):
+                tid = seg[p]
+                bits = bytes(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                values = bytes(seg[p + 17 : p + 17 + cnt])
+                htables[tid] = _decode_lut(bits, values)
+                p += 17 + cnt
+        elif marker == 0xC2:  # SOF2
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            if any(
+                hs < 1 or vs < 1 or hmax % hs or vmax % vs
+                for _, hs, vs, _ in comps
+            ):
+                raise NotImplementedError(
+                    "non-integer-ratio sampling factors unsupported"
+                )
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            for _, hs, vs, _ in comps:
+                bw_i, bh_i = mcux * hs, mcuy * vs
+                bdims.append((bw_i, bh_i))
+                zz.append(np.zeros((bh_i * bw_i, 64), np.int32))
+            sof = (fh, fw, comps, hmax, vmax, mcux, mcuy)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG: SOS before SOF2")
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan_comps.append((cs, tabs >> 4, tabs & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            data, end = _unstuff_scan(blob, pos + seglen)
+            _decode_prog_scan(
+                data, sof, zz, bdims, htables, scan_comps,
+                ss, se, ah, al, restart_interval,
+            )
+            pos = end
+            continue
+        pos += seglen
+    if sof is None:
+        raise ValueError("JPEG missing SOF2")
+    fh, fw, comps, hmax, vmax, _, _ = sof
+    return _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax)
+
+
+def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
+                      ss, se, ah, al, restart_interval):
+    """Decode one progressive scan into the coefficient planes.
+
+    Four cases per T.81 G.2: DC first / DC refine (Ss=0, interleaved
+    when ns>1), AC first / AC refine (single-component band scans).
+    The bit reader is the baseline path's inlined 32-bit-refill
+    acc/nbits/p pattern."""
+    fh, fw, comps, hmax, vmax, mcux, mcuy = sof
+    comp_idx = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    members = []
+    for cs, td, ta in scan_comps:
+        if cs not in comp_idx:
+            raise ValueError("JPEG scan references unknown component")
+        members.append((comp_idx[cs], td, ta))
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(members) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (ss <= se <= 63):
+            raise ValueError("bad spectral band")
+        if ah and ah != al + 1:
+            raise ValueError("AC refinement must step Al by 1")
+
+    data += b"\xff" * 8
+    dlen = len(data)
+    acc = 0
+    nbits = 0
+    p = 0
+
+    # ---- walk order ------------------------------------------------
+    if ss == 0 and len(members) > 1:
+        # interleaved DC: MCU walk like the baseline scan
+        sched = []
+        for ci, td, _ in members:
+            _, hs, vs, _ = comps[ci]
+            bw_i = bdims[ci][0]
+            dc = htables.get(td) if ah == 0 else None
+            if ah == 0 and dc is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+            for by_ in range(vs):
+                for bx_ in range(hs):
+                    sched.append((ci, vs * bw_i, by_ * bw_i + bx_, hs, dc))
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+
+        def blocks_of(unit):
+            my, mx = unit
+            for ci, rowmul, boff, hs, dc in sched:
+                yield ci, my * rowmul + mx * hs + boff, dc
+    else:
+        # non-interleaved: raster over the COMPONENT's own block grid,
+        # whose dims derive from the component size (ceil of scaled
+        # fw/fh), NOT the MCU-padded storage grid
+        ci, td, ta = members[0]
+        _, hs, vs, _ = comps[ci]
+        bw_i = bdims[ci][0]
+        cw = (fw * hs + hmax - 1) // hmax
+        ch = (fh * vs + vmax - 1) // vmax
+        bw_s = (cw + 7) // 8
+        bh_s = (ch + 7) // 8
+        tab = None
+        if ss == 0:
+            tab = htables.get(td) if ah == 0 else None
+            if ah == 0 and tab is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+        else:
+            tab = htables.get(0x10 | ta)
+            if tab is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+        units = [
+            (ci, by_ * bw_i + bx_, tab)
+            for by_ in range(bh_s) for bx_ in range(bw_s)
+        ]
+
+        def blocks_of(unit):
+            yield unit
+
+    preds = [0] * len(comps)
+    eobrun = 0
+    nunits_since_rst = 0
+    # sparse first-scan collection, one vectorized scatter at the end
+    idx_out: list[int] = []
+    val_out: list[int] = []
+    p1, m1 = 1 << al, -1 << al
+
+    for unit in units:
+        if restart_interval and nunits_since_rst == restart_interval:
+            nbits -= nbits % 8  # byte-align at restart
+            preds = [0] * len(comps)
+            eobrun = 0
+            nunits_since_rst = 0
+        for ci, bidx, tab in blocks_of(unit):
+            blk = zz[ci][bidx]
+            if ss == 0 and ah == 0:
+                # ---- DC first: baseline DC decode, scaled by 2^Al
+                dc_codes, dc_flat = tab
+                if nbits < 32:
+                    if p + 4 > dlen:
+                        raise ValueError("JPEG: truncated scan data")
+                    acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                        | int.from_bytes(data[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
+                ent = dc_flat[(acc >> (nbits - 10)) & 1023]
+                if ent >= 0:
+                    nbits -= ent >> 8
+                    size = ent & 0xFF
+                else:
+                    size, nbits = _read_long_code(acc, nbits, dc_codes)
+                if size:
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    preds[ci] += v
+                if preds[ci]:
+                    blk[0] = preds[ci] << al
+            elif ss == 0:
+                # ---- DC refine: one appended bit per block
+                if nbits < 32:
+                    if p + 4 > dlen:
+                        raise ValueError("JPEG: truncated scan data")
+                    acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                        | int.from_bytes(data[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
+                nbits -= 1
+                if (acc >> nbits) & 1:
+                    blk[0] |= p1
+            elif ah == 0:
+                # ---- AC first: band run-length with EOBn runs
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    ac_codes, ac_flat = tab
+                    base = bidx << 6
+                    k = ss
+                    while k <= se:
+                        if nbits < 32:
+                            if p + 4 > dlen:
+                                raise ValueError("JPEG: truncated scan data")
+                            acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                | int.from_bytes(data[p : p + 4], "big")
+                            p += 4
+                            nbits += 32
+                        ent = ac_flat[(acc >> (nbits - 10)) & 1023]
+                        if ent >= 0:
+                            nbits -= ent >> 8
+                            rs = ent & 0xFF
+                        else:
+                            rs, nbits = _read_long_code(acc, nbits, ac_codes)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                if nbits < 32:
+                                    if p + 4 > dlen:
+                                        raise ValueError(
+                                            "JPEG: truncated scan data")
+                                    acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                        | int.from_bytes(
+                                            data[p : p + 4], "big")
+                                    p += 4
+                                    nbits += 32
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG: AC index out of band")
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        idx_out.append(base + k)
+                        val_out.append(v << al)
+                        k += 1
+            else:
+                # ---- AC refine (G.1.2.3): correction bits on history,
+                # ±1<<Al insertions at zero-history positions
+                ac_codes, ac_flat = tab
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        if nbits < 32:
+                            if p + 4 > dlen:
+                                raise ValueError("JPEG: truncated scan data")
+                            acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                | int.from_bytes(data[p : p + 4], "big")
+                            p += 4
+                            nbits += 32
+                        ent = ac_flat[(acc >> (nbits - 10)) & 1023]
+                        if ent >= 0:
+                            nbits -= ent >> 8
+                            rs = ent & 0xFF
+                        else:
+                            rs, nbits = _read_long_code(acc, nbits, ac_codes)
+                        r, size = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if size == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    if nbits < 32:
+                                        if p + 4 > dlen:
+                                            raise ValueError(
+                                                "JPEG: truncated scan data")
+                                        acc = (
+                                            (acc & ((1 << nbits) - 1)) << 32
+                                        ) | int.from_bytes(
+                                            data[p : p + 4], "big")
+                                        p += 4
+                                        nbits += 32
+                                    nbits -= r
+                                    eobrun += (acc >> nbits) & ((1 << r) - 1)
+                                break
+                            # r == 15: skip 16 zero-history positions
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "JPEG: bad size in AC refinement")
+                            if nbits < 32:
+                                if p + 4 > dlen:
+                                    raise ValueError(
+                                        "JPEG: truncated scan data")
+                                acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                    | int.from_bytes(data[p : p + 4], "big")
+                                p += 4
+                                nbits += 32
+                            nbits -= 1
+                            newval = p1 if (acc >> nbits) & 1 else m1
+                        # advance over r zero-history coefficients,
+                        # appending correction bits to nonzero ones
+                        while k <= se:
+                            c = blk[k]
+                            if c != 0:
+                                if nbits < 32:
+                                    if p + 4 > dlen:
+                                        raise ValueError(
+                                            "JPEG: truncated scan data")
+                                    acc = (
+                                        (acc & ((1 << nbits) - 1)) << 32
+                                    ) | int.from_bytes(
+                                        data[p : p + 4], "big")
+                                    p += 4
+                                    nbits += 32
+                                nbits -= 1
+                                if ((acc >> nbits) & 1) and not (c & p1):
+                                    blk[k] = c + (p1 if c > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG: AC refinement overruns band")
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # end-of-band: correction bits for the remaining
+                    # nonzero-history coefficients of this block
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            if nbits < 32:
+                                if p + 4 > dlen:
+                                    raise ValueError(
+                                        "JPEG: truncated scan data")
+                                acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                    | int.from_bytes(data[p : p + 4], "big")
+                                p += 4
+                                nbits += 32
+                            nbits -= 1
+                            if ((acc >> nbits) & 1) and not (c & p1):
+                                blk[k] = c + (p1 if c > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+        nunits_since_rst += 1
+
+    if idx_out:
+        # one vectorized scatter per AC-first scan (all one component)
+        ci = members[0][0]
+        zz[ci].reshape(-1)[np.array(idx_out)] = val_out
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encode — spectral bands + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _w_dc_first(blk0s, al, dc_tab, writer, pred):
+    for c in blk0s:
+        v = int(c) >> al  # DC point transform is an arithmetic shift
+        size, bits = _magnitude(v - pred)
+        code, length = dc_tab[size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
+        pred = v
+    return pred
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode as progressive (SOF2) JFIF.
+
+    Scan script (exercises both G.2 axes): interleaved DC first at
+    Al=1 → per-component AC first in two spectral bands (1-5, 6-63) at
+    Al=1 → per-component AC refinement of both bands to Al=0 → DC
+    refinement to Al=0.  Quantization is identical to the baseline
+    encoder (same _quality_tables), so after all refinement passes the
+    decoded image is PIXEL-IDENTICAL to the baseline roundtrip at the
+    same quality — pinned by test.
+
+    Entropy tables are the Annex K set, which lacks EOBn (n>0) symbols,
+    so end-of-band runs are emitted as per-block EOB0 — valid, slightly
+    less compact; the DECODER handles full EOBn runs (hand-built golden
+    streams pin that path)."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
+        arr.ndim == 3 and arr.shape[2] != 3
+    ):
+        raise ValueError(
+            f"unsupported array for JPEG encode: shape={arr.shape} "
+            f"dtype={arr.dtype}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = arr.shape[:2]
+    q_lum, q_chr = _quality_tables(quality)
+    if arr.ndim == 2:
+        comps_px = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "444":
+            comps_px = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            ph, pw = -h % 16, -w % 16
+            yp = _pad_to(y, h + ph, w + pw)
+            down = []
+            for c in (cb, cr):
+                cp = _pad_to(c, h + ph, w + pw)
+                down.append(
+                    cp.reshape(cp.shape[0] // 2, 2, cp.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+            comps_px = [yp, down[0], down[1]]
+    n_comp = len(comps_px)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qblocks = []
+    bdims = []
+    for ci, comp in enumerate(comps_px):
+        hi, vi = samp[ci]
+        bw_i, bh_i = mcux * hi, mcuy * vi
+        comp = _pad_to(comp, bh_i * 8, bw_i * 8)
+        blocks = (
+            comp.reshape(bh_i, 8, bw_i, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = _D @ (blocks - 128.0) @ _D.T
+        q = q_lum if ci == 0 else q_chr
+        qblocks.append(
+            np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, _ZIGZAG]
+        )
+        bdims.append((bw_i, bh_i))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    ntab = 1 if n_comp == 1 else 2
+    payload = b""
+    for ti, q in enumerate((q_lum, q_chr)[:ntab]):
+        payload += bytes([ti]) + bytes(
+            int(x) for x in q.reshape(-1)[_ZIGZAG]
+        )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    tabs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if n_comp == 3:
+        tabs += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    payload = b""
+    for tid, (bits, values) in tabs:
+        payload += bytes([tid]) + bytes(bits) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def sos_header(members, ss, se, ah, al):
+        s = bytes([len(members)])
+        for cid, tsel in members:
+            s += bytes([cid, tsel])
+        s += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(s)) + s
+
+    # ---- scan 1: interleaved DC first, Al=1
+    out += sos_header(
+        [(ci + 1, 0x00 if ci == 0 else 0x11) for ci in range(n_comp)],
+        0, 0, 0, 1,
+    )
+    writer = _BitWriter()
+    preds = [0] * n_comp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n_comp):
+                hi, vi = samp[ci]
+                bw_i = bdims[ci][0]
+                dc_tab = _ENC_DC[0 if ci == 0 else 1]
+                for by_ in range(vi):
+                    for bx_ in range(hi):
+                        bidx = (my * vi + by_) * bw_i + mx * hi + bx_
+                        preds[ci] = _w_dc_first(
+                            [qblocks[ci][bidx, 0]], 1, dc_tab, writer,
+                            preds[ci],
+                        )
+    out += writer.flush()
+
+    def comp_units(ci):
+        """Non-interleaved block index walk for component ci."""
+        hi, vi = samp[ci]
+        bw_i = bdims[ci][0]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        return [
+            by_ * bw_i + bx_
+            for by_ in range((ch + 7) // 8)
+            for bx_ in range((cw + 7) // 8)
+        ]
+
+    bands = [(1, 5), (6, 63)]
+    # ---- AC first scans, per component per band, Al=1
+    for ci in range(n_comp):
+        ac_tab = _ENC_AC[0 if ci == 0 else 1]
+        tsel = 0x10 if ci == 0 else 0x11
+        for ss, se in bands:
+            out += sos_header([(ci + 1, tsel & 0x0F)], ss, se, 0, 1)
+            writer = _BitWriter()
+            for bidx in comp_units(ci):
+                blk = qblocks[ci][bidx]
+                # AC point transform: toward-zero division by 2^Al
+                vals = [
+                    int(np.sign(blk[k])) * (abs(int(blk[k])) >> 1)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [i for i, v in enumerate(vals) if v]
+                run = 0
+                for i in range(len(vals)):
+                    if not vals[i]:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        zc, zl = ac_tab[0xF0]
+                        writer.write(zc, zl)
+                        run -= 16
+                    size, bits = _magnitude(vals[i])
+                    code, length = ac_tab[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                    run = 0
+                if not nz or nz[-1] != len(vals) - 1:
+                    zc, zl = ac_tab[0x00]  # EOB0
+                    writer.write(zc, zl)
+            out += writer.flush()
+    # ---- AC refinement scans, per component per band, Ah=1 -> Al=0
+    for ci in range(n_comp):
+        ac_tab = _ENC_AC[0 if ci == 0 else 1]
+        tsel = 0x10 if ci == 0 else 0x11
+        for ss, se in bands:
+            out += sos_header([(ci + 1, tsel & 0x0F)], ss, se, 1, 0)
+            writer = _BitWriter()
+            for bidx in comp_units(ci):
+                blk = qblocks[ci][bidx]
+                t = [abs(int(blk[k])) for k in range(ss, se + 1)]
+                newnz = [i for i, v in enumerate(t) if v == 1]
+                last = newnz[-1] if newnz else -1
+                run = 0
+                pending: list[int] = []
+                for i in range(last + 1):
+                    if t[i] == 0:
+                        run += 1
+                        continue
+                    # ZRL flush on ANY nonzero (history or new), BEFORE
+                    # buffering its correction bit: the decoder reads a
+                    # history coefficient's correction bit while
+                    # advancing under the symbol FOLLOWING the ZRL, so
+                    # the bit must not ride the ZRL itself
+                    while run > 15:
+                        zc, zl = ac_tab[0xF0]
+                        writer.write(zc, zl)
+                        for b in pending:
+                            writer.write(b, 1)
+                        pending = []
+                        run -= 16
+                    if t[i] > 1:
+                        pending.append(t[i] & 1)
+                        continue
+                    code, length = ac_tab[(run << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(0 if blk[ss + i] < 0 else 1, 1)
+                    for b in pending:
+                        writer.write(b, 1)
+                    pending = []
+                    run = 0
+                tail = [t[i] & 1 for i in range(last + 1, len(t)) if t[i] > 1]
+                if last + 1 < len(t):
+                    zc, zl = ac_tab[0x00]  # EOB0: covers trailing zeros
+                    writer.write(zc, zl)
+                    for b in tail:
+                        writer.write(b, 1)
+            out += writer.flush()
+    # ---- final scan: DC refinement to Al=0 (interleaved)
+    out += sos_header(
+        [(ci + 1, 0x00) for ci in range(n_comp)], 0, 0, 1, 0,
+    )
+    writer = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n_comp):
+                hi, vi = samp[ci]
+                bw_i = bdims[ci][0]
+                for by_ in range(vi):
+                    for bx_ in range(hi):
+                        bidx = (my * vi + by_) * bw_i + mx * hi + bx_
+                        writer.write(int(qblocks[ci][bidx, 0]) & 1, 1)
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_codec(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
