@@ -4,9 +4,11 @@ VERDICT r04 item 3: the multimodal path should exercise a REAL
 compressed format with zero new dependencies.  This module implements a
 spec-complete subset of ISO/IEC 15948 (PNG):
 
-  * decode: 8- and 16-bit greyscale (color type 0), 8-bit RGB (2),
-    grey+alpha (4), RGBA (6) and palette (3, with optional tRNS
-    alpha); sequential
+  * decode: greyscale (color type 0) at 1/2/4/8/16 bits, RGB (2) and
+    grey+alpha (4) and RGBA (6) at 8/16 bits, palette (3) at 1/2/4/8
+    bits with optional tRNS alpha, and tRNS colour-key transparency
+    for greyscale/RGB streams (round 7 breadth: web sprite/icon
+    corpora are dominated by low-bit palette PNGs); sequential
     AND Adam7-interlaced streams (each of the 7 passes is an
     independently-filtered sub-image, unfiltered then scattered back
     by strided numpy assignment); all five scanline filter types
@@ -251,8 +253,14 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise NotImplementedError(
             "only compression=0, filter=0, interlace 0/1 PNGs supported"
         )
+    # round-7 variant breadth (VERDICT r06 item 3, decoder-side only):
+    # 1/2/4-bit palette AND greyscale, 16-bit RGB / grey+alpha / RGBA,
+    # and tRNS colour-key transparency for greyscale/RGB streams —
+    # web sprite/icon corpora are dominated by low-bit palette PNGs.
     if (color_type, bit_depth) not in (
-        (0, 8), (0, 16), (2, 8), (4, 8), (6, 8), (3, 8)
+        (0, 1), (0, 2), (0, 4), (0, 8), (0, 16),
+        (2, 8), (2, 16), (4, 8), (4, 16), (6, 8), (6, 16),
+        (3, 1), (3, 2), (3, 4), (3, 8),
     ):
         raise NotImplementedError(
             f"unsupported PNG color_type={color_type} bit_depth={bit_depth}"
@@ -260,19 +268,40 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bpp = channels * (bit_depth // 8)
+    # filter distance: byte-packed sub-8-bit samples filter at 1 byte
+    bpp = max(1, channels * bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
     dtype = np.uint16 if bit_depth == 16 else np.uint8
+
+    def _row_stride(ws: int) -> int:
+        return (ws * channels * bit_depth + 7) // 8
 
     def _to_pixels(recon, hs, ws):
         if bit_depth == 16:
             sub = np.frombuffer(bytes(recon), ">u2").astype(np.uint16)
-        else:
+            return sub.reshape(hs, ws, channels)
+        if bit_depth == 8:
             sub = np.frombuffer(bytes(recon), np.uint8)
-        return sub.reshape(hs, ws, channels)
+            return sub.reshape(hs, ws, channels)
+        # sub-byte depths (1/2/4, channels == 1): MSB-first bit groups
+        # per row, trailing pad bits trimmed to ws samples
+        stride = _row_stride(ws)
+        a = np.frombuffer(bytes(recon), np.uint8).reshape(hs, stride)
+        bits = np.unpackbits(a, axis=1)
+        if bit_depth == 1:
+            vals = bits
+        else:
+            per = stride * 8 // bit_depth
+            weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(
+                np.uint8
+            )
+            vals = (
+                bits.reshape(hs, per, bit_depth) * weights
+            ).sum(axis=2).astype(np.uint8)
+        return vals[:, :ws, None]
 
     if interlace == 0:
-        stride = w * bpp
+        stride = _row_stride(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG IDAT length mismatch")
         recon, _ = _unfilter_region(raw, 0, h, stride, bpp)
@@ -285,7 +314,7 @@ def decode_png(blob: bytes) -> np.ndarray:
             hs = (h - y0 + dy - 1) // dy
             if ws <= 0 or hs <= 0:
                 continue
-            recon, off = _unfilter_region(raw, off, hs, ws * bpp, bpp)
+            recon, off = _unfilter_region(raw, off, hs, _row_stride(ws), bpp)
             px[y0::dy, x0::dx, :] = _to_pixels(recon, hs, ws)
         if off != len(raw):
             raise ValueError("PNG IDAT length mismatch")
@@ -299,6 +328,21 @@ def decode_png(blob: bytes) -> np.ndarray:
         alpha = np.full(plte.shape[0], 255, np.uint8)
         alpha[: trns.size] = trns
         return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+    if color_type in (0, 2) and trns is not None:
+        # colour-key transparency: tRNS carries one 16-bit sample per
+        # channel, compared at the stream's raw sample depth
+        key = np.frombuffer(trns, ">u2").astype(np.uint16)
+        if key.size != channels:
+            raise ValueError("PNG tRNS length mismatch for color type")
+        transparent = (px == key.reshape(1, 1, channels)).all(axis=2)
+        opaque = np.uint16(65535) if bit_depth == 16 else np.uint8(255)
+        alpha = np.where(transparent, dtype(0), opaque).astype(dtype)
+        if bit_depth < 8:  # scale low-bit grey to 8-bit after keying
+            px = (px * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        return np.concatenate([px, alpha[..., None]], axis=2)
+    if color_type == 0 and bit_depth < 8:
+        # scale 1/2/4-bit grey to full 8-bit range (exact: 255, 85, 17)
+        px = (px * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
     if channels > 1:
         return px
     return px[..., 0]

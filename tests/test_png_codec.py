@@ -172,10 +172,10 @@ class TestPngPure:
         check()
 
     def test_unsupported_color_type_raises(self):
-        # 16-bit RGB is out of the supported subset (all five color
-        # types are in at 8 bits; grey is the only 16-bit format)
+        # 16-bit palette is out of the spec matrix (16-bit RGB is
+        # supported since round 7 — see TestPngVariantBreadth)
         blob = self._hand_png(
-            1, 1, [(0, [0] * 6)], bit_depth=16, color_type=2
+            1, 1, [(0, [0] * 2)], bit_depth=16, color_type=3
         )
         with pytest.raises(NotImplementedError, match="color_type"):
             decode_png(blob)
@@ -438,6 +438,235 @@ def _png_images(spark, n=40, seed=42):
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
     )
+
+
+class TestPngVariantBreadth:
+    """Round-7 (VERDICT r06 item 3, decoder-side): 1/2/4-bit palette
+    and greyscale, 16-bit RGB / grey+alpha / RGBA, and tRNS colour-key
+    transparency.  All streams are hand-assembled spec-level bytes,
+    independent of encode_png (which intentionally stays 8-bit)."""
+
+    @staticmethod
+    def _chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    @staticmethod
+    def _pack_bits(samples, bit_depth):
+        """Pack one row of samples MSB-first at bit_depth, zero-padded
+        to a whole byte (spec 7.2)."""
+        bits = []
+        for s in samples:
+            for b in range(bit_depth - 1, -1, -1):
+                bits.append((int(s) >> b) & 1)
+        while len(bits) % 8:
+            bits.append(0)
+        return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+    def _png(self, w, h, scanlines, bit_depth, color_type,
+             plte=None, trns=None, interlace=0):
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace
+        )
+        out = b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += self._chunk(b"PLTE", bytes(plte))
+        if trns is not None:
+            out += self._chunk(b"tRNS", bytes(trns))
+        body = b"".join(bytes([f]) + bytes(line) for f, line in scanlines)
+        return out + self._chunk(b"IDAT", zlib.compress(body)) \
+                   + self._chunk(b"IEND", b"")
+
+    def test_palette_4bit_with_filters(self):
+        """5x3 4-bit palette, odd width (pad nibble trimmed), rows
+        exercising None/Sub/Up filters at bpp=1 on PACKED bytes."""
+        plte = bytes(v for i in range(16) for v in (i, 2 * i, 3 * i))
+        # row0 idx [0,1,2,3,4] -> 0x01 0x23 0x40
+        # row1 idx [5,6,7,8,9] -> 0x56 0x78 0x90 (Sub deltas)
+        # row2 idx [10..14]    -> 0xAB 0xCD 0xE0 (Up deltas)
+        blob = self._png(5, 3, [
+            (0, [0x01, 0x23, 0x40]),
+            (1, [0x56, 0x22, 0x18]),
+            (2, [0x55, 0x55, 0x50]),
+        ], 4, 3, plte=plte)
+        got = decode_png(blob)
+        assert got.shape == (3, 5, 3)
+        idx = np.array([[0, 1, 2, 3, 4], [5, 6, 7, 8, 9],
+                        [10, 11, 12, 13, 14]])
+        want = np.stack([idx, 2 * idx, 3 * idx], axis=-1).astype(np.uint8)
+        assert np.array_equal(got, want)
+
+    def test_palette_1bit_and_2bit_with_trns(self):
+        # 1-bit: w=10 -> stride 2, second byte has 6 pad bits
+        plte1 = bytes([0, 0, 0, 255, 255, 255])
+        blob = self._png(10, 2, [
+            (0, [0b10101010, 0b10000000]),
+            (0, [0xFF, 0xC0]),
+        ], 1, 3, plte=plte1, trns=bytes([128]))  # index0 alpha=128
+        got = decode_png(blob)
+        assert got.shape == (2, 10, 4)
+        idx = np.array([[1, 0] * 5, [1] * 10])
+        assert np.array_equal(got[..., 0], (idx * 255).astype(np.uint8))
+        assert np.array_equal(
+            got[..., 3], np.where(idx == 0, 128, 255).astype(np.uint8)
+        )
+        # 2-bit: w=5 samples [0,1,2,3,0] -> bits 00 01 10 11 00 (+pad)
+        plte2 = bytes(v for i in range(4) for v in (i * 10, i, 0))
+        blob = self._png(5, 1, [(0, [0b00011011, 0b00000000])],
+                         2, 3, plte=plte2)
+        got = decode_png(blob)
+        assert got.shape == (1, 5, 3)
+        assert np.array_equal(
+            got[0, :, 0], np.array([0, 10, 20, 30, 0], np.uint8)
+        )
+
+    def test_grey_low_bit_scaling(self):
+        """1/2/4-bit greyscale scales to 8-bit by exact replication
+        factors 255/85/17; pad bits trimmed at odd widths."""
+        blob = self._png(10, 2, [
+            (0, [0b10101010, 0b10000000]),
+            (0, [0xFF, 0xC0]),
+        ], 1, 0)
+        got = decode_png(blob)
+        assert got.shape == (2, 10)
+        assert np.array_equal(got[0], np.array([255, 0] * 5, np.uint8))
+        assert (got[1] == 255).all()
+        blob = self._png(5, 1, [(0, [0b00011011, 0b00000000])], 2, 0)
+        assert np.array_equal(
+            decode_png(blob)[0], np.array([0, 85, 170, 255, 0], np.uint8)
+        )
+        blob = self._png(3, 1, [(0, [0x0F, 0x50])], 4, 0)
+        assert np.array_equal(
+            decode_png(blob)[0], np.array([0, 255, 85], np.uint8)
+        )
+
+    def test_rgb16_and_rgba16(self):
+        px = [(0x0102, 0x0304, 0x0506), (0xFFFF, 0x0000, 0x8000)]
+        row = b"".join(struct.pack(">HHH", *p) for p in px)
+        blob = self._png(2, 1, [(0, row)], 16, 2)
+        got = decode_png(blob)
+        assert got.dtype == np.uint16 and got.shape == (1, 2, 3)
+        assert np.array_equal(got[0], np.array(px, np.uint16))
+        # RGBA16 with an Up-filtered second row (identical rows)
+        pxa = [(1000, 2000, 3000, 65535), (40000, 50000, 60000, 0)]
+        row = b"".join(struct.pack(">HHHH", *p) for p in pxa)
+        blob = self._png(2, 2, [(0, row), (2, bytes(len(row)))], 16, 6)
+        got = decode_png(blob)
+        assert got.dtype == np.uint16 and got.shape == (2, 2, 4)
+        assert np.array_equal(got[0], got[1])
+        assert np.array_equal(got[0], np.array(pxa, np.uint16))
+
+    def test_grey_alpha_16(self):
+        pxa = [(256, 65535), (513, 0)]
+        row = b"".join(struct.pack(">HH", *p) for p in pxa)
+        blob = self._png(2, 1, [(0, row)], 16, 4)
+        got = decode_png(blob)
+        assert got.dtype == np.uint16 and got.shape == (1, 2, 2)
+        assert np.array_equal(got[0], np.array(pxa, np.uint16))
+
+    def test_trns_colour_key_grey_and_rgb(self):
+        # 8-bit grey, key=20: alpha 0 exactly where sample == 20
+        blob = self._png(3, 1, [(0, [10, 20, 30])], 8, 0,
+                         trns=struct.pack(">H", 20))
+        got = decode_png(blob)
+        assert got.shape == (1, 3, 2)
+        assert np.array_equal(got[0, :, 0], np.array([10, 20, 30], np.uint8))
+        assert np.array_equal(got[0, :, 1], np.array([255, 0, 255], np.uint8))
+        # 16-bit RGB, key matches second pixel
+        px = [(0x0102, 0x0304, 0x0506), (0xFFFF, 0x0000, 0x8000)]
+        row = b"".join(struct.pack(">HHH", *p) for p in px)
+        blob = self._png(2, 1, [(0, row)], 16, 2,
+                         trns=struct.pack(">HHH", 0xFFFF, 0, 0x8000))
+        got = decode_png(blob)
+        assert got.shape == (1, 2, 4) and got.dtype == np.uint16
+        assert np.array_equal(
+            got[0, :, 3], np.array([65535, 0], np.uint16)
+        )
+        # low-bit grey with key: keyed at RAW sample depth, then scaled
+        blob = self._png(5, 1, [(0, [0b00011011, 0b00000000])], 2, 0,
+                         trns=struct.pack(">H", 2))
+        got = decode_png(blob)
+        assert np.array_equal(
+            got[0, :, 0], np.array([0, 85, 170, 255, 0], np.uint8)
+        )
+        assert np.array_equal(
+            got[0, :, 1], np.array([255, 255, 0, 255, 255], np.uint8)
+        )
+
+    def test_trns_bad_length_raises(self):
+        blob = self._png(3, 1, [(0, [10, 20, 30])], 8, 0,
+                         trns=struct.pack(">HH", 20, 30))
+        with pytest.raises(ValueError, match="tRNS length"):
+            decode_png(blob)
+
+    def test_adam7_palette_4bit(self):
+        """Interlaced low-bit palette: per-pass strides are
+        ceil(ws*4/8) with per-row pad bits."""
+        rng = np.random.default_rng(5)
+        idx = rng.integers(0, 16, (4, 5), dtype=np.uint8)
+        plte = bytes(v for i in range(16) for v in (i, 255 - i, i * 9))
+        body = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for r in range(sub.shape[0]):
+                body += b"\x00" + self._pack_bits(sub[r], 4)
+        ihdr = struct.pack(">IIBBBBB", 5, 4, 4, 3, 0, 0, 1)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"PLTE", plte)
+            + self._chunk(b"IDAT", zlib.compress(bytes(body)))
+            + self._chunk(b"IEND", b"")
+        )
+        got = decode_png(blob)
+        assert got.shape == (4, 5, 3)
+        pal = np.frombuffer(plte, np.uint8).reshape(16, 3)
+        assert np.array_equal(got, pal[idx])
+
+    def test_adam7_rgb16(self):
+        """Interlaced 16-bit RGB: bpp=6 filtering and >u2 parse per
+        pass."""
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 65536, (5, 4, 3), dtype=np.uint16)
+        body = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for r in range(sub.shape[0]):
+                body += b"\x00" + np.ascontiguousarray(
+                    sub[r]).astype(">u2").tobytes()
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 1)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(bytes(body)))
+            + self._chunk(b"IEND", b"")
+        )
+        got = decode_png(blob)
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, img)
+
+    def test_still_rejected_variants(self):
+        """Combinations outside the spec-supported matrix still raise
+        the documented NotImplementedError (no silent garbage)."""
+        for ct, bd in ((2, 4), (6, 4), (3, 16), (4, 1)):
+            ihdr = struct.pack(">IIBBBBB", 2, 1, bd, ct, 0, 0, 0)
+            blob = (
+                b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+                + self._chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                + self._chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                decode_png(blob)
 
 
 class TestPngThroughOperators:
