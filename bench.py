@@ -364,6 +364,7 @@ def _emit(meta: dict) -> None:
         "png_decode_mpx_per_sec",
         "jpeg_quiet_window", "jpeg_normalized", "jpeg_images_per_sec",
         "jpeg_decode_mpx_per_sec",
+        "jpeg_codec_share_decode_only", "jpeg_codec_share_vs_native_floor",
     ]
     compact["stats"] = {k: s[k] for k in keep if k in s}
     compact["detail"] = "BENCH_detail.json"
@@ -717,6 +718,84 @@ def main() -> None:
         extra["jpeg_images_per_sec"] = round(N_IMAGES_PNG / jpeg_secs, 1)
         extra["jpeg_decode_mpx_per_sec"] = round(
             total_px / jpeg_secs / 1e6, 2
+        )
+
+        # --- codec share isolation (round 7, VERDICT r06 item 7): two
+        # independent measurements of the decoder's share of the
+        # flagship_jpeg wall.
+        # (a) decode-only pass: the same JPEG table through the SAME
+        #     registry dispatch, no tiling/join — the codec's cost.
+        # (b) native-stub flagship: the full pipeline with a
+        #     memcpy-class fake decoder plugged through codec_override
+        #     — the pipeline's non-decode floor.  The stub's constant
+        #     raster keeps nodata pixels, so its tile volume is
+        #     slightly HIGHER than real decode: the floor is an upper
+        #     bound, the share estimate conservative.
+        import pandas as pd
+
+        from h3ronpy_spark.sources.images import (
+            codec_snapshot,
+            synth_images_jpeg,
+        )
+        from h3ronpy_spark.sources.jpeg import register_jpeg_codec
+
+        register_jpeg_codec()
+        _dec_codecs = codec_snapshot()
+
+        def _jpeg_decode_only():
+            imgs = synth_images_jpeg(
+                spark, N_IMAGES_PNG, seed=42, partitions=256
+            )
+
+            def run(batches):
+                from h3ronpy_spark.sources.images import decode_image_with
+
+                for b in batches:
+                    acc = 0
+                    for blob, w_, h_, f_ in zip(
+                        b["bytes"], b["w"], b["h"], b["fmt"]
+                    ):
+                        a = decode_image_with(
+                            _dec_codecs, blob, int(w_), int(h_), f_
+                        )
+                        acc += int(a[0, 0])
+                    yield pd.DataFrame({"n": [acc]})
+
+            imgs.mapInPandas(run, "n long").agg(F.sum("n")).first()
+
+        _jpeg_decode_only()  # warm-up, untimed
+        dec_runs, _, _ = timed_reps(
+            _jpeg_decode_only, min_reps=2, max_reps=3,
+            budget_s=REP_BUDGET / 4,
+        )
+        dec_secs = min(dec_runs)
+
+        def _native_stub(blob, w_, h_, fmt_):
+            import numpy as np
+
+            return np.full((int(h_), int(w_)), 170, np.uint8)
+
+        def _jpeg_native_once():
+            out = flagship(
+                spark, n_images=N_IMAGES_PNG, n_polygons=60, res=9,
+                partitions=256, coverage=png_cov, fmt="jpeg",
+                codec_override={"jpeg": _native_stub},
+            )
+            out.agg(F.sum("n_tiles").alias("t")).first()
+
+        _jpeg_native_once()  # warm-up, untimed
+        nat_runs, _, _ = timed_reps(
+            _jpeg_native_once, min_reps=2, max_reps=3,
+            budget_s=REP_BUDGET / 4,
+        )
+        nat_secs = min(nat_runs)
+        extra["jpeg_decode_only_secs"] = round(dec_secs, 2)
+        extra["jpeg_native_stub_secs"] = round(nat_secs, 2)
+        extra["jpeg_codec_share_decode_only"] = round(
+            dec_secs / jpeg_secs, 3
+        )
+        extra["jpeg_codec_share_vs_native_floor"] = round(
+            max(0.0, (jpeg_secs - nat_secs)) / jpeg_secs, 3
         )
 
     if "headline" in SECTIONS:
