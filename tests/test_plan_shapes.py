@@ -167,6 +167,50 @@ class TestNonBroadcastBranches:
         )
         assert got == want and got
 
+    def test_pip_join_prefilter_two_stage(self, spark):
+        """Round-7 (VERDICT r06 item 5): past the broadcast threshold,
+        a coarse ancestor prefilter (broadcast LEFT SEMI over the
+        distinct coverage ancestors, codegen bit-math probe) drops
+        non-matching rows BEFORE the shuffle.  Output must match the
+        broadcast path row-for-row with the prefilter on (default) and
+        off, and the prefilter leg must appear in the plan only when
+        on."""
+        from h3ronpy_spark.operators.spatial_join import pip_join
+        from h3ronpy_spark.sources.polygons import synth_polygons
+
+        pts = spark.range(4000).select(
+            F.col("id"),
+            H.coordinates_to_cells(
+                (F.pmod(F.col("id") * 2654435761, F.lit(1700000)) / 10000.0
+                 - 85.0),
+                (F.pmod(F.col("id") * 40503, F.lit(3600000)) / 10000.0
+                 - 180.0),
+                F.lit(8),
+            ).alias("cell"),
+        )
+        polys = synth_polygons(spark, 8, seed=3)
+        pref = pip_join(pts, polys, res=8, broadcast_threshold_rows=1)
+        plan = _plan(pref)
+        assert "__coarse_cell" in plan, plan[:3000]
+        assert "LeftSemi" in plan, plan[:3000]
+        raw = pip_join(
+            pts, polys, res=8, broadcast_threshold_rows=1,
+            prefilter=False,
+        )
+        assert "__coarse_cell" not in _plan(raw)
+        want = sorted(map(tuple, pip_join(pts, polys, res=8)
+                          .select("id", "poly_id").collect()))
+        for df in (pref, raw):
+            got = sorted(map(tuple, df.select("id", "poly_id").collect()))
+            assert got == want and got
+        # salted + prefilter compose
+        sp = pip_join(pts, polys, res=8, broadcast_threshold_rows=1,
+                      salt=4)
+        plan_sp = _plan(sp)
+        assert "__coarse_cell" in plan_sp and "__salt" in plan_sp
+        got = sorted(map(tuple, sp.select("id", "poly_id").collect()))
+        assert got == want
+
     def test_pip_join_semi_anti_partition(self, spark):
         """Round-5 regression: semi/anti must PARTITION the left rows
         exactly (semi distinct == inner distinct, anti == complement,

@@ -220,13 +220,25 @@ def main() -> None:
     t_b = time.time() - t0
     t0 = time.time()
     n_salted = pip_join(
-        enc, polys, res=9, broadcast_threshold_rows=1, salt=8
+        enc, polys, res=9, broadcast_threshold_rows=1, salt=8,
+        prefilter=False,  # round-6 comparable: raw salted shuffle
     ).count()
     t_s = time.time() - t0
     assert n_salted == n_bcast, (n_salted, n_bcast)
+    # round-7 (VERDICT r06 item 5): the two-stage probe — coarse
+    # ancestor prefilter (broadcast semi join, codegen) drops
+    # non-matching points BEFORE the salted shuffle; same args as the
+    # raw salted leg, prefilter on (the default)
+    t0 = time.time()
+    n_pref = pip_join(
+        enc, polys, res=9, broadcast_threshold_rows=1, salt=8,
+    ).count()
+    t_p = time.time() - t0
+    assert n_pref == n_bcast, (n_pref, n_bcast)
     out["sections"]["pip_join_salted_24m"] = {
         "broadcast_secs": round(t_b, 2),
         "salted_shuffle_secs": round(t_s, 2),
+        "salted_prefilter_secs": round(t_p, 2),
         "joined_rows": int(n_bcast),
         "oracle_counts_equal": True,
     }
