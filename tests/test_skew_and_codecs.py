@@ -347,25 +347,31 @@ class TestNativeCodecSeam:
             s = df._jdf.queryExecution().optimizedPlan().toString()
             return re.sub(r"#\d+L?", "#x", s)
 
-        real = flagship(spark, n_images=300, n_polygons=8, res=9,
-                        fmt="jpeg")
-        before = dict(codec_snapshot())
-        fake = flagship(spark, n_images=300, n_polygons=8, res=9,
-                        fmt="jpeg",
-                        codec_override={"jpeg": native_stub})
-        # plan identical modulo expression ids
-        assert norm(real) == norm(fake)
-        # override did not leak into the global registry
-        after = dict(codec_snapshot())
-        assert after["jpeg"] is before["jpeg"]
-        # the overridden plan executes end-to-end: same polygon keys in
-        # the rollup (tile COUNTS are content-dependent — nodata=0
-        # pixels are dropped, and the stub's constant raster has none —
-        # so the stub can only see >= the real codec's tiles per image)
-        r = {x["poly_id"]: x["n_tiles"] for x in real.collect()}
-        f = {x["poly_id"]: x["n_tiles"] for x in fake.collect()}
-        assert set(r) == set(f) and len(r) > 0
-        assert all(f[k] >= r[k] for k in r)
+        from h3ronpy_spark.sources.images import unregister_codec
+
+        try:
+            real = flagship(spark, n_images=300, n_polygons=8, res=9,
+                            fmt="jpeg")
+            before = dict(codec_snapshot())
+            fake = flagship(spark, n_images=300, n_polygons=8, res=9,
+                            fmt="jpeg",
+                            codec_override={"jpeg": native_stub})
+            # plan identical modulo expression ids
+            assert norm(real) == norm(fake)
+            # override did not leak into the global registry
+            after = dict(codec_snapshot())
+            assert after["jpeg"] is before["jpeg"]
+            # the overridden plan executes end-to-end: same polygon keys
+            # in the rollup (tile COUNTS are content-dependent —
+            # nodata=0 pixels are dropped, and the stub's constant
+            # raster has none — so the stub only sees >= real's tiles)
+            r = {x["poly_id"]: x["n_tiles"] for x in real.collect()}
+            f = {x["poly_id"]: x["n_tiles"] for x in fake.collect()}
+            assert set(r) == set(f) and len(r) > 0
+            assert all(f[k] >= r[k] for k in r)
+        finally:
+            # suite isolation: flagship(fmt='jpeg') registers globally
+            unregister_codec("jpeg")
 
     def test_native_codec_decode_throughput_scales(self):
         """Decode-path microbench: the stub must beat the pure-Python
