@@ -1058,13 +1058,42 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
         def blocks_of(unit):
             yield unit
 
+    p1, m1 = 1 << al, -1 << al
+
+    # ---- DC refinement: a pure bit stream (no Huffman), one appended
+    # bit per block in walk order, byte-realigned at restarts —
+    # vectorized: unpack every bit once (C speed), walk a Python-int
+    # list, OR the set blocks in one scatter per component.
+    if ss == 0 and ah > 0:
+        bits = np.unpackbits(np.frombuffer(data, np.uint8)).tolist()
+        cur = 0
+        setidx: list[list[int]] = [[] for _ in range(len(comps))]
+        n_since = 0
+        for unit in units:
+            if restart_interval and n_since == restart_interval:
+                cur = (cur + 7) & ~7  # byte-align at restart
+                n_since = 0
+            for ci, bidx, _tab in blocks_of(unit):
+                if bits[cur]:
+                    setidx[ci].append(bidx)
+                cur += 1
+            n_since += 1
+        if cur > (dlen - 8) * 8:  # read into the overdraw pad
+            raise ValueError("JPEG: truncated scan data")
+        for ci, idxs in enumerate(setidx):
+            if idxs:
+                zz[ci][np.array(idxs), 0] |= p1
+        return
+
     preds = [0] * len(comps)
     eobrun = 0
     nunits_since_rst = 0
     # sparse first-scan collection, one vectorized scatter at the end
     idx_out: list[int] = []
     val_out: list[int] = []
-    p1, m1 = 1 << al, -1 << al
+    # DC-first collection: every block's value, one scatter per comp
+    dc_idx: list[list[int]] = [[] for _ in range(len(comps))]
+    dc_val: list[list[int]] = [[] for _ in range(len(comps))]
 
     for unit in units:
         if restart_interval and nunits_since_rst == restart_interval:
@@ -1073,7 +1102,6 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
             eobrun = 0
             nunits_since_rst = 0
         for ci, bidx, tab in blocks_of(unit):
-            blk = zz[ci][bidx]
             if ss == 0 and ah == 0:
                 # ---- DC first: baseline DC decode, scaled by 2^Al
                 dc_codes, dc_flat = tab
@@ -1097,19 +1125,8 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
                         v -= (1 << size) - 1
                     preds[ci] += v
                 if preds[ci]:
-                    blk[0] = preds[ci] << al
-            elif ss == 0:
-                # ---- DC refine: one appended bit per block
-                if nbits < 32:
-                    if p + 4 > dlen:
-                        raise ValueError("JPEG: truncated scan data")
-                    acc = ((acc & ((1 << nbits) - 1)) << 32) \
-                        | int.from_bytes(data[p : p + 4], "big")
-                    p += 4
-                    nbits += 32
-                nbits -= 1
-                if (acc >> nbits) & 1:
-                    blk[0] |= p1
+                    dc_idx[ci].append(bidx)
+                    dc_val[ci].append(preds[ci] << al)
             elif ah == 0:
                 # ---- AC first: band run-length with EOBn runs
                 if eobrun > 0:
@@ -1163,8 +1180,16 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
                         k += 1
             else:
                 # ---- AC refine (G.1.2.3): correction bits on history,
-                # ±1<<Al insertions at zero-history positions
+                # ±1<<Al insertions at zero-history positions.  The
+                # band is pulled into a Python-int list ONCE per block
+                # (tolist is C speed) — per-coefficient numpy scalar
+                # reads/writes were the dominant cost of this scan type
+                # (round-7 profile: ~5x baseline decode before, ~2x
+                # after) — and written back only when changed.
                 ac_codes, ac_flat = tab
+                row = zz[ci][bidx]
+                bv = row[: se + 1].tolist()
+                changed = False
                 k = ss
                 if eobrun == 0:
                     while k <= se:
@@ -1218,7 +1243,7 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
                         # advance over r zero-history coefficients,
                         # appending correction bits to nonzero ones
                         while k <= se:
-                            c = blk[k]
+                            c = bv[k]
                             if c != 0:
                                 if nbits < 32:
                                     if p + 4 > dlen:
@@ -1232,7 +1257,8 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
                                     nbits += 32
                                 nbits -= 1
                                 if ((acc >> nbits) & 1) and not (c & p1):
-                                    blk[k] = c + (p1 if c > 0 else m1)
+                                    bv[k] = c + (p1 if c > 0 else m1)
+                                    changed = True
                             else:
                                 if r == 0:
                                     break
@@ -1242,13 +1268,14 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
                             if k > se:
                                 raise ValueError(
                                     "JPEG: AC refinement overruns band")
-                            blk[k] = newval
+                            bv[k] = newval
+                            changed = True
                         k += 1
                 if eobrun > 0:
                     # end-of-band: correction bits for the remaining
                     # nonzero-history coefficients of this block
                     while k <= se:
-                        c = blk[k]
+                        c = bv[k]
                         if c != 0:
                             if nbits < 32:
                                 if p + 4 > dlen:
@@ -1260,15 +1287,22 @@ def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
                                 nbits += 32
                             nbits -= 1
                             if ((acc >> nbits) & 1) and not (c & p1):
-                                blk[k] = c + (p1 if c > 0 else m1)
+                                bv[k] = c + (p1 if c > 0 else m1)
+                                changed = True
                         k += 1
                     eobrun -= 1
+                if changed:
+                    row[ss : se + 1] = bv[ss:]
         nunits_since_rst += 1
 
     if idx_out:
         # one vectorized scatter per AC-first scan (all one component)
         ci = members[0][0]
         zz[ci].reshape(-1)[np.array(idx_out)] = val_out
+    for ci in range(len(comps)):
+        if dc_idx[ci]:
+            # one DC scatter per component for a DC-first scan
+            zz[ci][np.array(dc_idx[ci]), 0] = dc_val[ci]
 
 
 # ---------------------------------------------------------------------------
