@@ -12,18 +12,24 @@ DCT subset:
     web-corpus layout), standard Annex K quantization + Huffman
     tables, libjpeg-convention quality scaling, byte stuffing,
     restart-free scan.
-  * decode: baseline sequential (SOF0/1), 1- or 3-component with
-    ARBITRARY integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2,
-    4:4:0, ...; chroma upsampled by pixel replication), multi-table
-    DQT/DHT markers, restart markers (DRI/RSTn), 10-bit-window
-    Huffman LUT entropy decode (one dict lookup per symbol), then
-    VECTORIZED dequant + IDCT + color convert over all blocks at
-    once — the Python-level loop touches only the entropy symbols,
-    everything pixel-shaped stays in numpy.
-  * progressive (SOF2), arithmetic coding, 12-bit, and non-integer
-    sampling ratios raise NotImplementedError — the registry seam
-    (sources/images.py) is where a real libjpeg plugs in (matching
-    where the reference leans on rasterio/GDAL for container decode,
+  * decode: baseline sequential (SOF0/1) AND progressive (SOF2,
+    round 7: spectral selection + successive approximation, T.81
+    Annex G.2), 1-, 3-, or 4-component with ARBITRARY integer-ratio
+    sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...; chroma
+    upsampled by pixel replication), multi-table DQT/DHT markers
+    with 8- or 16-bit (Pq=1) quantization entries, restart markers
+    (DRI/RSTn), Adobe APP14 color transforms (RGB / CMYK / YCCK,
+    inverted-CMYK convention per TN-5116) plus the 'R','G','B'
+    component-ID heuristic, 10-bit-window Huffman LUT entropy decode
+    (one dict lookup per symbol), then VECTORIZED dequant + IDCT +
+    color convert over all blocks at once — the Python-level loop
+    touches only the entropy symbols, everything pixel-shaped stays
+    in numpy.
+  * arithmetic coding, 12-bit sample precision, hierarchical/
+    lossless SOFs, and non-integer sampling ratios raise
+    NotImplementedError — the registry seam (sources/images.py) is
+    where a real libjpeg plugs in (matching where the reference
+    leans on rasterio/GDAL for container decode,
     h3ronpy/tests/arrow/test_raster.py:21-26).
 
 The north-rule per-row invariant for lossy formats is PSNR >= 40 dB;
@@ -602,8 +608,58 @@ def _unstuff_scan(blob: bytes, scan_start: int) -> tuple[bytes, int]:
     return b"".join(pieces), scan_start + term_idx
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """Parse one DQT segment (possibly several tables).
+
+    Pq=0 (8-bit) and Pq=1 (64 big-endian 16-bit entries, T.81
+    B.2.4.1) are both accepted; 16-bit tables appear in real web
+    corpora from very-low-quality or high-precision encoders."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        if pq == 0:
+            tab = np.frombuffer(seg[p + 1 : p + 65], np.uint8).astype(
+                np.int32
+            )
+            p += 65
+        elif pq == 1:
+            tab = np.frombuffer(seg[p + 1 : p + 129], ">u2").astype(
+                np.int32
+            )
+            p += 129
+        else:
+            raise ValueError(f"JPEG DQT: invalid precision {pq}")
+        qtables[tq] = tab[_UNZIGZAG].reshape(8, 8)
+
+
+def _parse_app14(seg: bytes):
+    """Return the Adobe TN-5116 color-transform byte, or None.
+
+    APP14 payload: 'Adobe' + version(2) + flags0(2) + flags1(2) +
+    transform(1).  transform: 0 = RGB/CMYK as-is, 1 = YCbCr,
+    2 = YCCK."""
+    if len(seg) >= 12 and seg[:5] == b"Adobe":
+        return seg[11]
+    return None
+
+
+def _check_n_components(nc: int) -> None:
+    if nc not in (1, 3, 4):
+        raise NotImplementedError(
+            f"JPEG with {nc} components unsupported (grey/YCbCr-or-RGB/"
+            "CMYK-or-YCCK only); register a native codec for such streams"
+        )
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (greyscale or YCbCr 4:4:4).
+    """Decode a baseline sequential JPEG.
+
+    Color models: greyscale, YCbCr (JFIF default), RGB (Adobe APP14
+    transform=0 or 'R','G','B' component IDs), and 4-component
+    CMYK / Adobe-inverted CMYK / YCCK per the APP14 transform byte —
+    the print-pipeline exports real scraped corpora contain, which the
+    reference ingests through rasterio/GDAL's libjpeg
+    (h3ronpy/tests/arrow/test_raster.py:21-26).
 
     Progressive (SOF2) streams are dispatched to _decode_progressive."""
     if blob[:2] != b"\xff\xd8":
@@ -615,6 +671,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     restart_interval = 0
     scan_comps = None
     scan_start = None
+    adobe = None
     n = len(blob)
     while pos < n:
         if blob[pos] != 0xFF:
@@ -629,16 +686,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
         seg = blob[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT unsupported")
-                tab = np.frombuffer(
-                    seg[p + 1 : p + 65], np.uint8
-                ).astype(np.int32)
-                qtables[tq] = tab[_UNZIGZAG].reshape(8, 8)
-                p += 65
+            _parse_dqt(seg, qtables)
+        elif marker == 0xEE:  # APP14 (Adobe color-transform hint)
+            t = _parse_app14(seg)
+            if t is not None:
+                adobe = t
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(seg):
@@ -652,6 +704,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            _check_n_components(nc)
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -818,13 +871,22 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if idx_out[ci]:
             zz[ci].reshape(-1)[np.array(idx_out[ci])] = val_out[ci]
 
-    return _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax)
+    return _reconstruct(
+        zz, comps, qtables, bdims, fh, fw, hmax, vmax, adobe
+    )
 
 
-def _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax):
+def _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax,
+                 adobe=None):
     """Vectorized dequant + IDCT per component, then integer-ratio
-    chroma upsampling (pixel replication) and crop.  Shared by the
-    baseline and progressive decode paths."""
+    chroma upsampling (pixel replication), crop, and color transform.
+    Shared by the baseline and progressive decode paths.
+
+    `adobe` is the APP14 transform byte (or None): with 3 components,
+    transform=0 (or 'R','G','B' component IDs with no APP14) means the
+    planes are RGB as-is; with 4 components, transform=2 is YCCK and
+    anything else is CMYK — stored INVERTED when an Adobe marker is
+    present (TN-5116), plain otherwise."""
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         q = qtables.get(tq)
@@ -849,8 +911,30 @@ def _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax):
         planes.append(plane[:fh, :fw])
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    ycc = np.stack(planes, axis=-1)
-    return _ycbcr_to_rgb(ycc)
+    if len(comps) == 3:
+        if adobe == 0 or (
+            adobe is None and [c[0] for c in comps] == [82, 71, 66]
+        ):
+            # RGB as-is (Adobe transform=0, or libjpeg's 'R','G','B'
+            # component-ID heuristic): no YCbCr conversion.
+            rgb = np.stack(planes, axis=-1)
+            return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    # 4 components: CMYK family -> RGB = inverted-CMY * inverted-K / 255
+    if adobe == 2:  # YCCK: YCbCr->RGB of the first three IS inverted CMY
+        icmy = _ycbcr_to_rgb(np.stack(planes[:3], axis=-1)).astype(
+            np.float64
+        )
+        ik = np.clip(np.rint(planes[3]), 0, 255)
+    elif adobe is not None:  # Adobe CMYK is stored inverted (TN-5116)
+        icmy = np.clip(np.rint(np.stack(planes[:3], axis=-1)), 0, 255)
+        ik = np.clip(np.rint(planes[3]), 0, 255)
+    else:  # plain (non-Adobe) CMYK
+        icmy = 255.0 - np.clip(np.rint(np.stack(planes[:3], axis=-1)),
+                               0, 255)
+        ik = 255.0 - np.clip(np.rint(planes[3]), 0, 255)
+    rgb = icmy * ik[..., None] / 255.0
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -884,6 +968,7 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
     htables: dict[int, tuple[dict, list]] = {}
     sof = None
     restart_interval = 0
+    adobe = None
     zz: list[np.ndarray] = []
     bdims: list[tuple[int, int]] = []
     n = len(blob)
@@ -907,16 +992,11 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
             raise ValueError("JPEG: truncated stream")
         seg = blob[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT unsupported")
-                tab = np.frombuffer(
-                    seg[p + 1 : p + 65], np.uint8
-                ).astype(np.int32)
-                qtables[tq] = tab[_UNZIGZAG].reshape(8, 8)
-                p += 65
+            _parse_dqt(seg, qtables)
+        elif marker == 0xEE:  # APP14 (Adobe color-transform hint)
+            t = _parse_app14(seg)
+            if t is not None:
+                adobe = t
         elif marker == 0xC4:  # DHT (tables may be redefined per scan)
             p = 0
             while p < len(seg):
@@ -930,6 +1010,7 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            _check_n_components(nc)
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -976,7 +1057,9 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
     if sof is None:
         raise ValueError("JPEG missing SOF2")
     fh, fw, comps, hmax, vmax, _, _ = sof
-    return _reconstruct(zz, comps, qtables, bdims, fh, fw, hmax, vmax)
+    return _reconstruct(
+        zz, comps, qtables, bdims, fh, fw, hmax, vmax, adobe
+    )
 
 
 def _decode_prog_scan(data, sof, zz, bdims, htables, scan_comps,
