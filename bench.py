@@ -823,7 +823,8 @@ def main() -> None:
             "dedup_minhash_lsh",
             "similarity_lsh_ann",
         ]
-        # up to 3 calibrated passes; stop early once a pass ran in a
+        # up to BENCH_HEADLINE_PASSES (default 3) calibrated passes;
+        # stop early once a pass ran in a
         # quiet window (flanking ratios >= 0.85, calm pressure).  Times
         # are tracked PER PASS (round-4, ADVICE r03): each query's
         # reported number is its best time from a QUIET pass when one
@@ -834,7 +835,12 @@ def main() -> None:
         hl_press = []
         hl_times: dict = {name: [] for name in headline}
         t_section = time.time()
-        for pass_i in range(3):
+        # round-7: the 3-pass cap was the structural reason headline
+        # never certified quiet while every other section (6-12 reps)
+        # did; the cap is now tunable so a stretched-budget capture can
+        # keep buying passes until one lands in a quiet window.
+        max_passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "3"))
+        for pass_i in range(max_passes):
             r_before = window_ratio()
             snap0 = _machine_snapshot()
             t_pass = time.time()

@@ -63,13 +63,20 @@ def _resize_band(band: np.ndarray, out_w: int, out_h: int, method: str) -> np.nd
 
 
 def resize_images(
-    images: DataFrame, out_w: int, out_h: int, method: str = "bilinear"
+    images: DataFrame, out_w: int, out_h: int, method: str = "bilinear",
+    honor_exif: bool = True,
 ) -> DataFrame:
     """images (input_hint schema) -> same schema with bytes/w/h resized
-    (fmt becomes raw8: the resample output is an uncompressed band)."""
+    (fmt becomes raw8: the resample output is an uncompressed band).
+
+    honor_exif=True (default) resamples DISPLAY pixels: JPEG payloads
+    carrying an EXIF orientation tag are transposed/flipped before the
+    resize, the convention of real training pipelines (PIL
+    exif_transpose; round 7).  Untagged payloads are unaffected."""
     if method not in ("nearest", "bilinear"):
         raise ValueError("method must be nearest or bilinear")
     codecs = codec_snapshot()  # plan-build capture: rides the closure
+    orient = honor_exif
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -78,7 +85,8 @@ def resize_images(
             out = []
             for i in range(len(b)):
                 band = decode_image_with(
-                    codecs, blobs[i], int(wc[i]), int(hc[i]), fmts[i]
+                    codecs, blobs[i], int(wc[i]), int(hc[i]), fmts[i],
+                    orient=orient,
                 )
                 out.append(
                     _resize_band(band, out_w, out_h, method).tobytes()
@@ -112,12 +120,19 @@ FEATURES_SCHEMA = T.StructType(
 _N_HIST = 8
 
 
-def extract_image_features(images: DataFrame) -> DataFrame:
+def extract_image_features(
+    images: DataFrame, honor_exif: bool = True
+) -> DataFrame:
     """images -> (image_id, embedding: array<float>[12]): mean, std,
     horizontal+vertical edge energy, and an 8-bin intensity histogram —
     a deterministic, fully-computed feature vector usable by the
-    similarity operators (brute_force_topk / lsh_topk)."""
+    similarity operators (brute_force_topk / lsh_topk).
+
+    honor_exif=True computes features over DISPLAY pixels (EXIF
+    orientation applied for tagged JPEGs) so the directional edge
+    energies match what a viewer sees; untagged payloads unaffected."""
     codecs = codec_snapshot()  # plan-build capture: rides the closure
+    orient = honor_exif
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -126,7 +141,8 @@ def extract_image_features(images: DataFrame) -> DataFrame:
             vecs = []
             for i in range(len(b)):
                 band = decode_image_with(
-                    codecs, blobs[i], int(wc[i]), int(hc[i]), fmts[i]
+                    codecs, blobs[i], int(wc[i]), int(hc[i]), fmts[i],
+                    orient=orient,
                 ).astype(np.float64)
                 gx = np.abs(np.diff(band, axis=1)).mean() if band.shape[1] > 1 else 0.0
                 gy = np.abs(np.diff(band, axis=0)).mean() if band.shape[0] > 1 else 0.0

@@ -291,21 +291,35 @@ def _decode_raw(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 def decode_image_with(
-    codecs: dict, blob: bytes, w: int, h: int, fmt: str
+    codecs: dict, blob: bytes, w: int, h: int, fmt: str,
+    orient: bool = False,
 ) -> np.ndarray:
     """decode_image against an explicit codec table (a closure-captured
     `codec_snapshot()`), so registrations made on the driver apply on
-    executors."""
+    executors.
+
+    orient=True additionally applies the EXIF orientation tag (JPEG
+    payloads only) so the result is DISPLAY pixels — the convention a
+    training-data pipeline wants (PIL exif_transpose parity).  Stored
+    pixels (codec parity with libjpeg/GDAL) are the default."""
     fn = codecs.get(fmt)
     if fn is not None:
-        return fn(blob, w, h, fmt)
-    if fmt in RAW_DTYPES:
-        return _decode_raw(blob, w, h, fmt)
-    raise NotImplementedError(
-        f"codec {fmt!r} not registered and not available in this "
-        "environment; register_codec(fmt, fn) plugs a real decoder in, "
-        "raw* formats are the deterministic stand-in"
-    )
+        arr = fn(blob, w, h, fmt)
+    elif fmt in RAW_DTYPES:
+        arr = _decode_raw(blob, w, h, fmt)
+    else:
+        raise NotImplementedError(
+            f"codec {fmt!r} not registered and not available in this "
+            "environment; register_codec(fmt, fn) plugs a real decoder "
+            "in, raw* formats are the deterministic stand-in"
+        )
+    if orient and fmt == "jpeg":
+        from .jpeg import apply_exif_orientation, exif_orientation
+
+        o = exif_orientation(blob)
+        if o and o != 1:
+            arr = apply_exif_orientation(arr, o)
+    return arr
 
 
 def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:

@@ -1642,6 +1642,90 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# EXIF orientation (round 7): phone-photo corpora are dominated by
+# orientation-tagged JPEGs.  Parity note: libjpeg does NOT rotate —
+# orientation is consumer-side metadata (PIL ImageOps.exif_transpose;
+# GDAL exposes it as EXIF_Orientation, which is what the reference's
+# rasterio ingest sees) — so decode_jpeg returns STORED pixels and
+# these helpers are the opt-in display transform.
+# ---------------------------------------------------------------------------
+
+
+def exif_orientation(blob: bytes):
+    """Return the EXIF orientation (1-8) from a JPEG's APP1 segment,
+    or None when absent/malformed.  Header-only scan: stops at SOS,
+    never raises on malformed EXIF (metadata must not kill a decode)."""
+    try:
+        if blob[:2] != b"\xff\xd8":
+            return None
+        pos, n = 2, len(blob)
+        while pos + 4 <= n:
+            if blob[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = blob[pos + 1]
+            pos += 2
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                continue
+            if marker == 0xDA:  # SOS: EXIF must precede the scan
+                return None
+            (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
+            seg = blob[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker != 0xE1 or seg[:6] != b"Exif\x00\x00":
+                continue
+            tiff = seg[6:]
+            if tiff[:2] == b"II":
+                e = "<"
+            elif tiff[:2] == b"MM":
+                e = ">"
+            else:
+                return None
+            if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+                return None
+            (ifd0,) = struct.unpack(e + "I", tiff[4:8])
+            if ifd0 + 2 > len(tiff):
+                return None
+            (cnt,) = struct.unpack(e + "H", tiff[ifd0 : ifd0 + 2])
+            for i in range(cnt):
+                off = ifd0 + 2 + 12 * i
+                if off + 12 > len(tiff):
+                    return None
+                tag, typ = struct.unpack(e + "HH", tiff[off : off + 4])
+                if tag == 0x0112 and typ == 3:  # Orientation, SHORT
+                    (v,) = struct.unpack(
+                        e + "H", tiff[off + 8 : off + 10]
+                    )
+                    return v if 1 <= v <= 8 else None
+            return None
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+def apply_exif_orientation(arr: np.ndarray, orientation) -> np.ndarray:
+    """Transform STORED pixels to DISPLAY pixels for an EXIF
+    orientation 1-8 (PIL exif_transpose-compatible).  Orientations
+    5-8 swap width and height.  Works on (h, w) and (h, w, c)."""
+    o = orientation or 1
+    if o == 2:
+        arr = arr[:, ::-1]
+    elif o == 3:
+        arr = arr[::-1, ::-1]
+    elif o == 4:
+        arr = arr[::-1]
+    elif o == 5:
+        arr = arr.swapaxes(0, 1)
+    elif o == 6:
+        arr = arr.swapaxes(0, 1)[:, ::-1]
+    elif o == 7:
+        arr = arr.swapaxes(0, 1)[::-1, ::-1]
+    elif o == 8:
+        arr = arr.swapaxes(0, 1)[::-1]
+    return np.ascontiguousarray(arr)
+
+
 def jpeg_codec(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Codec-registry adapter with geometry sanity check."""
     a = decode_jpeg(blob)
