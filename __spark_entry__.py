@@ -445,7 +445,14 @@ def _q_image_resize(spark, sf):
     encode->decode roundtrip must be PIXEL-IDENTICAL to the baseline
     roundtrip (same quantization, different scan structure: spectral
     selection + successive approximation), which subsumes the PSNR
-    gate and pins the multi-scan entropy decoder."""
+    gate and pins the multi-scan entropy decoder.
+
+    Round-7 codec-breadth folds: `gif_ok` gates the GIF LZW
+    encode->decode roundtrip (lossless, bit-identical) and `tiff_ok`
+    the GeoTIFF write->read cycle including the geotransform and
+    nodata tags (the reference's write_gtiff/rasterio.open cycle,
+    h3ronpy/tests/arrow/test_raster.py:39-55) — every registry codec
+    now sits inside the driver's value-hash gate."""
     from h3ronpy_spark.functions import pandas_udf
     from h3ronpy_spark.operators.multimodal import (
         extract_image_features,
@@ -472,10 +479,18 @@ def _q_image_resize(spark, sf):
         F.round(F.col("embedding")[1].cast("double"), 3).alias("p_std"),
     )
 
-    @pandas_udf("struct<psnr_ok:boolean,prog_ok:boolean>")
-    def jpeg_rt_ok(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
+    @pandas_udf(
+        "struct<psnr_ok:boolean,prog_ok:boolean,"
+        "gif_ok:boolean,tiff_ok:boolean>"
+    )
+    def codec_rt_ok(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
         import numpy as np
 
+        from h3ronpy_spark.sources.geotiff import (
+            read_geotiff,
+            write_geotiff,
+        )
+        from h3ronpy_spark.sources.gif import decode_gif, encode_gif
         from h3ronpy_spark.sources.jpeg import (
             decode_jpeg,
             encode_jpeg,
@@ -483,26 +498,50 @@ def _q_image_resize(spark, sf):
             psnr_db,
         )
 
-        psnr_out, prog_out = [], []
+        psnr_out, prog_out, gif_out, tiff_out = [], [], [], []
+        tr = (0.001, 0.0, 8.0, 0.0, -0.001, 49.0)
         for blob, ww, hh in zip(b, w, h):
             band = np.frombuffer(blob, np.uint8).reshape(int(hh), int(ww))
             base = decode_jpeg(encode_jpeg(band, 93))
             psnr_out.append(bool(psnr_db(band, base) >= 40.0))
             prog = decode_jpeg(encode_jpeg_progressive(band, 93))
             prog_out.append(bool(np.array_equal(base, prog)))
-        return pd.DataFrame({"psnr_ok": psnr_out, "prog_ok": prog_out})
+            gif_out.append(
+                bool(np.array_equal(decode_gif(encode_gif(band)), band))
+            )
+            ds = read_geotiff(write_geotiff(band, tr, nodata=0))
+            tiff_out.append(
+                bool(
+                    np.array_equal(ds.band, band)
+                    and ds.nodata == 0.0
+                    and all(
+                        abs(x - y) < 1e-12
+                        for x, y in zip(ds.transform, tr)
+                    )
+                )
+            )
+        return pd.DataFrame(
+            {
+                "psnr_ok": psnr_out,
+                "prog_ok": prog_out,
+                "gif_ok": gif_out,
+                "tiff_ok": tiff_out,
+            }
+        )
 
-    jpeg_gate = imgs.select(
+    codec_gate = imgs.select(
         "image_id",
-        jpeg_rt_ok(F.col("bytes"), F.col("w"), F.col("h")).alias("jg"),
+        codec_rt_ok(F.col("bytes"), F.col("w"), F.col("h")).alias("jg"),
     ).select(
         "image_id",
         F.col("jg.psnr_ok").alias("jpeg_psnr_ok"),
         F.col("jg.prog_ok").alias("jpeg_prog_ok"),
+        F.col("jg.gif_ok").alias("gif_ok"),
+        F.col("jg.tiff_ok").alias("tiff_ok"),
     )
     return (
         feats.join(feats_png, "image_id")
-        .join(jpeg_gate, "image_id")
+        .join(codec_gate, "image_id")
         .select(
             "image_id",
             "mean_px",
@@ -513,6 +552,8 @@ def _q_image_resize(spark, sf):
             ).alias("png_match"),
             "jpeg_psnr_ok",
             "jpeg_prog_ok",
+            "gif_ok",
+            "tiff_ok",
         )
     )
 

@@ -277,6 +277,125 @@ def read_geotiff(blob: bytes) -> GeoTiff:
     return GeoTiff(band=band, transform=transform, nodata=nodata)
 
 
+def write_geotiff(
+    band: np.ndarray,
+    transform: tuple | None = None,
+    nodata: float | None = None,
+    rows_per_strip: int = 64,
+) -> bytes:
+    """Encode a single-band (h, w) or interleaved (h, w, spp) array as
+    an uncompressed classic little-endian GeoTIFF.
+
+    The reference's test suite writes rasters back out through
+    rasterio's GTiff driver (h3ronpy/tests/arrow/test_raster.py
+    write_gtiff); this is the no-dependency equivalent, carrying the
+    (a, b, c, d, e, f) geotransform as ModelPixelScale+ModelTiepoint
+    (axis-aligned transforms only — b and d must be 0) and nodata as
+    GDAL_NODATA.  Uncompressed strips: at 100-TB scale compression is
+    the registry codec's job; this writer exists for roundtrips and
+    small exports."""
+    band = np.asarray(band)
+    h, w = band.shape[:2]
+    spp = 1 if band.ndim == 2 else band.shape[2]
+    dt = band.dtype
+    kind_to_fmt = {"u": 1, "i": 2, "f": 3}
+    if dt.kind not in kind_to_fmt or dt.itemsize not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported dtype for GeoTIFF write: {dt}")
+    bits = dt.itemsize * 8
+    e = "<"
+    rps = min(rows_per_strip, h)
+
+    entries = [
+        (256, 3, 1, [w]),
+        (257, 3, 1, [h]),
+        (258, 3, spp, [bits] * spp),
+        (259, 3, 1, [1]),
+        (262, 3, 1, [1 if spp == 1 else 2]),
+        (277, 3, 1, [spp]),
+        (278, 3, 1, [rps]),
+        (339, 3, 1, [kind_to_fmt[dt.kind]]),
+    ]
+    if transform is not None:
+        a, b, c, d, e_, f = (float(t) for t in transform)
+        if b or d:
+            raise ValueError(
+                "rotated transforms unsupported (ModelTransformation "
+                "write not implemented)"
+            )
+        entries.append((33550, 12, 3, [a, -e_, 0.0]))
+        entries.append((33922, 12, 6, [0.0, 0.0, 0.0, c, f, 0.0]))
+    if nodata is not None:
+        s = (
+            str(int(nodata))
+            if float(nodata) == int(nodata)
+            else repr(float(nodata))
+        )
+        entries.append((42113, 2, len(s) + 1, s))
+
+    strips = [
+        np.ascontiguousarray(band[y0 : y0 + rps])
+        .astype(dt.newbyteorder(e))
+        .tobytes()
+        for y0 in range(0, h, rps)
+    ]
+    n_strips = len(strips)
+    n = len(entries) + 2
+    ifd_size = 2 + 12 * n + 4
+    oline_pos = 8 + ifd_size
+
+    def enc_vals(typ, vals):
+        if typ == 2:
+            return vals.encode() + b"\x00"
+        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        return b"".join(struct.pack(e + fmt, v) for v in vals)
+
+    out_of_line = bytearray()
+    packed = []
+    for tag, typ, cnt, vals in entries:
+        raw = enc_vals(typ, vals)
+        if len(raw) <= 4:
+            packed.append((tag, typ, cnt, raw.ljust(4, b"\x00")))
+        else:
+            packed.append(
+                (tag, typ, cnt,
+                 struct.pack(e + "I", oline_pos + len(out_of_line)))
+            )
+            out_of_line += raw
+
+    tables_pos = oline_pos + len(out_of_line)
+    if n_strips == 1:
+        data_pos = tables_pos
+        packed.append((273, 4, 1, struct.pack(e + "I", data_pos)))
+        packed.append((279, 4, 1, struct.pack(e + "I", len(strips[0]))))
+        tables_raw = b""
+    else:
+        offsets_pos = tables_pos
+        counts_pos = tables_pos + 4 * n_strips
+        data_pos = counts_pos + 4 * n_strips
+        offs, cur = [], data_pos
+        for s in strips:
+            offs.append(cur)
+            cur += len(s)
+        tables_raw = b"".join(
+            struct.pack(e + "I", o) for o in offs
+        ) + b"".join(struct.pack(e + "I", len(s)) for s in strips)
+        packed.append((273, 4, n_strips, struct.pack(e + "I", offsets_pos)))
+        packed.append((279, 4, n_strips, struct.pack(e + "I", counts_pos)))
+
+    packed.sort(key=lambda x: x[0])
+    ifd = struct.pack(e + "H", n)
+    for tag, typ, cnt, val4 in packed:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + val4
+    ifd += struct.pack(e + "I", 0)
+
+    blob = bytearray(b"II" + struct.pack(e + "H", 42))
+    blob += struct.pack(e + "I", 8)
+    blob += ifd + out_of_line + tables_raw
+    for s in strips:
+        blob += s
+    return bytes(blob)
+
+
 def tiff_codec(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Codec-registry adapter (band only; transform/nodata are read
     via read_geotiff where georeferencing matters)."""

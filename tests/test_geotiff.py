@@ -339,3 +339,55 @@ class TestRegistrySeam:
         blob = _build_tiff(band)
         got = decode_image_with({"tiff": tiff_codec}, blob, 6, 5, "tiff")
         assert (got == band).all()
+
+
+class TestWriter:
+    @pytest.mark.parametrize("dt", ["uint8", "uint16", "int32",
+                                    "float32", "float64"])
+    def test_write_read_roundtrip(self, dt):
+        from h3ronpy_spark.sources.geotiff import write_geotiff
+
+        rng = np.random.default_rng(31)
+        band = rng.integers(0, 200, (70, 9)).astype(dt)
+        tr = (0.01, 0.0, 8.0, 0.0, -0.02, 49.0)
+        ds = read_geotiff(write_geotiff(band, tr, nodata=0))
+        assert (ds.band == band).all() and ds.band.dtype == band.dtype
+        assert ds.nodata == 0.0
+        assert all(abs(x - y) < 1e-12 for x, y in zip(ds.transform, tr))
+
+    def test_write_multi_strip_rgb(self):
+        from h3ronpy_spark.sources.geotiff import write_geotiff
+
+        rng = np.random.default_rng(33)
+        band = rng.integers(0, 256, (200, 13, 3)).astype(np.uint8)
+        ds = read_geotiff(write_geotiff(band, rows_per_strip=16))
+        assert (ds.band == band).all()
+
+    def test_rotated_transform_rejected(self):
+        from h3ronpy_spark.sources.geotiff import write_geotiff
+
+        with pytest.raises(ValueError, match="rotated"):
+            write_geotiff(
+                np.zeros((2, 2), np.uint8), (1, 0.1, 0, 0, -1, 0)
+            )
+
+    def test_raster_to_dataframe_write_read_cycle(self):
+        """rasterize -> write -> read -> raster_to_dataframe: the same
+        export-import cycle the reference runs through rasterio's GTiff
+        driver (test_raster.py write_gtiff)."""
+        from h3ronpy_spark.pandas_api import raster_to_dataframe
+        from h3ronpy_spark.sources.geotiff import write_geotiff
+
+        band = np.zeros((60, 60), np.uint8)
+        band[20:40, 10:50] = 3
+        tr = (0.01, 0.0, 8.0, 0.0, -0.01, 49.5)
+        ds = read_geotiff(write_geotiff(band, tr, nodata=0))
+        df = raster_to_dataframe(
+            ds.read(1), ds.transform, 10, nodata_value=ds.nodata,
+            compact=True,
+        )
+        df2 = raster_to_dataframe(
+            band, tr, 10, nodata_value=0, compact=True
+        )
+        assert len(df) == len(df2) > 0
+        assert sorted(df["cell"]) == sorted(df2["cell"])
