@@ -234,12 +234,16 @@ def read_geotiff(blob: bytes) -> GeoTiff:
             data = raw[:want]
         elif compression == 5:
             data = _lzw_decode_tiff(raw, want)
+        elif compression in (8, 32946):  # Deflate (and old-style code)
+            import zlib
+
+            data = zlib.decompress(raw)[:want]
         elif compression == 32773:
             data = _packbits_decode(raw, want)
         else:
             raise NotImplementedError(
                 f"TIFF compression {compression} unsupported "
-                "(none/LZW/PackBits only)"
+                "(none/LZW/Deflate/PackBits only)"
             )
         if len(data) < want:
             raise ValueError(

@@ -391,3 +391,35 @@ class TestWriter:
         )
         assert len(df) == len(df2) > 0
         assert sorted(df["cell"]) == sorted(df2["cell"])
+
+
+class TestDeflate:
+    def test_deflate_strip(self):
+        import zlib
+
+        rng = np.random.default_rng(41)
+        band = rng.integers(0, 256, (11, 7)).astype(np.uint8)
+        ds = read_geotiff(
+            _build_tiff(
+                band, compression=8, payload=zlib.compress(band.tobytes())
+            )
+        )
+        assert (ds.band == band).all()
+
+    def test_deflate_old_code_with_predictor(self):
+        import zlib
+
+        band = np.cumsum(
+            np.arange(40, dtype=np.uint8).reshape(5, 8), axis=1
+        ).astype(np.uint8)
+        diffed = np.concatenate(
+            [band[:, :1].astype(np.int16),
+             np.diff(band.astype(np.int16), axis=1)], axis=1
+        ).astype(np.uint8)
+        ds = read_geotiff(
+            _build_tiff(
+                band, compression=32946, predictor=2,
+                payload=zlib.compress(diffed.tobytes()),
+            )
+        )
+        assert (ds.band == band).all()
