@@ -448,11 +448,12 @@ def _q_image_resize(spark, sf):
     gate and pins the multi-scan entropy decoder.
 
     Round-7 codec-breadth folds: `gif_ok` gates the GIF LZW
-    encode->decode roundtrip (lossless, bit-identical) and `tiff_ok`
+    encode->decode roundtrip (lossless, bit-identical), `tiff_ok`
     the GeoTIFF write->read cycle including the geotransform and
     nodata tags (the reference's write_gtiff/rasterio.open cycle,
-    h3ronpy/tests/arrow/test_raster.py:39-55) — every registry codec
-    now sits inside the driver's value-hash gate."""
+    h3ronpy/tests/arrow/test_raster.py:39-55), and `bmp_ok` the BMP
+    roundtrip — every registry codec now sits inside the driver's
+    value-hash gate."""
     from h3ronpy_spark.functions import pandas_udf
     from h3ronpy_spark.operators.multimodal import (
         extract_image_features,
@@ -481,7 +482,7 @@ def _q_image_resize(spark, sf):
 
     @pandas_udf(
         "struct<psnr_ok:boolean,prog_ok:boolean,"
-        "gif_ok:boolean,tiff_ok:boolean>"
+        "gif_ok:boolean,tiff_ok:boolean,bmp_ok:boolean>"
     )
     def codec_rt_ok(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
         import numpy as np
@@ -490,6 +491,7 @@ def _q_image_resize(spark, sf):
             read_geotiff,
             write_geotiff,
         )
+        from h3ronpy_spark.sources.bmp import decode_bmp, encode_bmp
         from h3ronpy_spark.sources.gif import decode_gif, encode_gif
         from h3ronpy_spark.sources.jpeg import (
             decode_jpeg,
@@ -498,7 +500,9 @@ def _q_image_resize(spark, sf):
             psnr_db,
         )
 
-        psnr_out, prog_out, gif_out, tiff_out = [], [], [], []
+        psnr_out, prog_out, gif_out, tiff_out, bmp_out = (
+            [], [], [], [], []
+        )
         tr = (0.001, 0.0, 8.0, 0.0, -0.001, 49.0)
         for blob, ww, hh in zip(b, w, h):
             band = np.frombuffer(blob, np.uint8).reshape(int(hh), int(ww))
@@ -508,6 +512,9 @@ def _q_image_resize(spark, sf):
             prog_out.append(bool(np.array_equal(base, prog)))
             gif_out.append(
                 bool(np.array_equal(decode_gif(encode_gif(band)), band))
+            )
+            bmp_out.append(
+                bool(np.array_equal(decode_bmp(encode_bmp(band)), band))
             )
             ds = read_geotiff(write_geotiff(band, tr, nodata=0))
             tiff_out.append(
@@ -526,6 +533,7 @@ def _q_image_resize(spark, sf):
                 "prog_ok": prog_out,
                 "gif_ok": gif_out,
                 "tiff_ok": tiff_out,
+                "bmp_ok": bmp_out,
             }
         )
 
@@ -538,6 +546,7 @@ def _q_image_resize(spark, sf):
         F.col("jg.prog_ok").alias("jpeg_prog_ok"),
         F.col("jg.gif_ok").alias("gif_ok"),
         F.col("jg.tiff_ok").alias("tiff_ok"),
+        F.col("jg.bmp_ok").alias("bmp_ok"),
     )
     return (
         feats.join(feats_png, "image_id")
@@ -554,6 +563,7 @@ def _q_image_resize(spark, sf):
             "jpeg_prog_ok",
             "gif_ok",
             "tiff_ok",
+            "bmp_ok",
         )
     )
 
