@@ -569,15 +569,58 @@ def _q_image_resize(spark, sf):
 
 
 def _q_video_frames(spark, sf):
-    """Video frame sampling: every 10th frame of 24-frame raw8 videos."""
+    """Video frame sampling: every 10th frame of 24-frame raw8 videos.
+
+    Round-7 audio fold (driver 50-query cap): the same row also
+    carries the AUDIO operator surface — per-clip WAV decode ->
+    feature extraction (rms/zcr rounded to 6 places), the resample
+    output length, and the chunk count for the id-matched synthetic
+    clip (operators/audio.py), so the third modality sits inside the
+    driver's value-hash gate alongside image and video."""
+    from h3ronpy_spark.operators.audio import (
+        chunk_audio,
+        extract_audio_features,
+        resample_audio,
+        synth_audio,
+    )
     from h3ronpy_spark.operators.multimodal import sample_frames, synth_videos
 
     vids = synth_videos(spark, 50, n_frames=24, w=16, h=8, seed=7)
     frames = sample_frames(vids, every_n=10)
-    return frames.groupBy("video_id").agg(
+    video = frames.groupBy("video_id").agg(
         F.count("*").alias("n_frames_sampled"),
         F.sum("frame_idx").alias("sum_idx"),
         F.sum(F.length("bytes")).alias("sum_bytes"),
+    )
+    clips = synth_audio(spark, 50, seconds=0.25, rate=8000)
+    feats = extract_audio_features(clips).select(
+        "audio_id",
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("a_rms"),
+        F.round(F.col("embedding")[2].cast("double"), 6).alias("a_zcr"),
+    )
+    res = resample_audio(clips, 4000).select(
+        "audio_id", F.col("n_samples").alias("a_resampled")
+    )
+    chunks = chunk_audio(clips, 500).groupBy("audio_id").agg(
+        F.count("*").alias("a_chunks")
+    )
+    audio = (
+        feats.join(res, "audio_id")
+        .join(chunks, "audio_id")
+        .select(
+            F.substring("audio_id", 4, 10).cast("int").alias("_mid"),
+            "a_rms",
+            "a_zcr",
+            "a_resampled",
+            "a_chunks",
+        )
+    )
+    return (
+        video.withColumn(
+            "_mid", F.substring("video_id", 4, 10).cast("int")
+        )
+        .join(audio, "_mid")
+        .drop("_mid")
     )
 
 
