@@ -7,12 +7,15 @@ binary columns with typed metadata").  WAV/PCM is the interchange
 format actual speech corpora ship in, and it needs no entropy coding —
 decode is a strided numpy view, exactly the shape the registry wants.
 
-Scope: RIFF/WAVE with a PCM (format 1) or IEEE-float (format 3) fmt
-chunk; 8-bit unsigned, 16/24/32-bit signed, float32/float64 samples;
-any channel count (interleaved, returned as (n, ch) with mono
-squeezed to (n,)).  Chunk walk skips unknown chunks (LIST/INFO/fact)
-like every real reader.  Compressed formats (ADPCM, mp3-in-wav) raise
-behind the registry seam.
+Scope: RIFF/WAVE with a PCM (format 1), IEEE-float (format 3), A-law
+(format 6), or mu-law (format 7) fmt chunk; 8-bit unsigned,
+16/24/32-bit signed, float32/float64 samples; any channel count
+(interleaved, returned as (n, ch) with mono squeezed to (n,)).
+G.711 mu-law/A-law bytes (telephony speech corpora) expand to int16
+through a 256-entry table computed from the CCITT formulas.  Chunk
+walk skips unknown chunks (LIST/INFO/fact) like every real reader.
+Compressed formats (ADPCM, mp3-in-wav) raise behind the registry
+seam.
 """
 
 from __future__ import annotations
@@ -22,7 +25,70 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["Wav", "decode_wav", "encode_wav"]
+__all__ = ["Wav", "decode_wav", "encode_wav", "ulaw_to_linear",
+           "linear_to_ulaw", "alaw_to_linear", "linear_to_alaw"]
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (CCITT g711 reference formulas, vectorized as LUTs)
+# ---------------------------------------------------------------------------
+
+_BIAS = 0x84
+
+
+def _build_ulaw_table() -> np.ndarray:
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + _BIAS) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _BIAS - t, t - _BIAS).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
+def ulaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16 (G.711; 0xFF is digital silence -> 0)."""
+    return _ULAW_TABLE[np.asarray(b, np.uint8)]
+
+
+def alaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 (G.711; 0xD5 -> +8, the A-law 'zero')."""
+    return _ALAW_TABLE[np.asarray(b, np.uint8)]
+
+
+def _compand(x: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Nearest-decode-value encoder: for each int16 sample pick the
+    byte whose expansion is closest (exact inverse on code points,
+    minimal quantization error elsewhere — sufficient for the
+    data-pipeline use; a bit-exact G.711 encoder differs only in
+    tie-breaking)."""
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int32)
+    pos = np.searchsorted(sorted_vals, np.asarray(x, np.int32))
+    pos = np.clip(pos, 1, 255)
+    left = sorted_vals[pos - 1]
+    right = sorted_vals[np.minimum(pos, 255)]
+    use_left = np.abs(np.asarray(x, np.int32) - left) <= np.abs(
+        right - np.asarray(x, np.int32)
+    )
+    idx = np.where(use_left, pos - 1, np.minimum(pos, 255))
+    return order[idx].astype(np.uint8)
+
+
+def linear_to_ulaw(x: np.ndarray) -> np.ndarray:
+    return _compand(x, _ULAW_TABLE)
+
+
+def linear_to_alaw(x: np.ndarray) -> np.ndarray:
+    return _compand(x, _ALAW_TABLE)
 
 
 @dataclass
@@ -78,6 +144,14 @@ def decode_wav(blob: bytes) -> Wav:
             a = np.frombuffer(data, "<i4")
         else:
             raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    elif audio_format == 6:  # G.711 A-law
+        if bits != 8:
+            raise NotImplementedError("A-law must be 8-bit")
+        a = alaw_to_linear(np.frombuffer(data, np.uint8))
+    elif audio_format == 7:  # G.711 mu-law
+        if bits != 8:
+            raise NotImplementedError("mu-law must be 8-bit")
+        a = ulaw_to_linear(np.frombuffer(data, np.uint8))
     elif audio_format == 3:  # IEEE float
         if bits == 32:
             a = np.frombuffer(data, "<f4")

@@ -218,3 +218,81 @@ class TestSparkAudio:
         n = min(len(x0), len(x1))
         err = np.sqrt(np.mean((x0[:n] - x1[:n]) ** 2))
         assert err < 0.15 * np.sqrt(np.mean(x0[:n] ** 2))
+
+
+class TestG711:
+    def test_ulaw_anchors(self):
+        from h3ronpy_spark.sources.wav import ulaw_to_linear
+
+        t = ulaw_to_linear(np.arange(256))
+        assert t[0xFF] == 0 and t[0x7F] == 0  # digital silence (+/-0)
+        # CCITT g711.c ulaw2linear max magnitude: 32124 (16-bit domain;
+        # 8031 in the 14-bit domain x4)
+        assert t.max() == 32124 and t.min() == -32124
+        assert len(np.unique(t)) == 255  # +0 and -0 collide
+
+    def test_alaw_anchors(self):
+        from h3ronpy_spark.sources.wav import alaw_to_linear
+
+        t = alaw_to_linear(np.arange(256))
+        assert t[0xD5] == 8  # A-law 'zero' (no true 0)
+        # CCITT g711.c alaw2linear max magnitude (16-bit domain)
+        assert t.max() == 32256 and t.min() == -32256
+        assert len(np.unique(t)) == 256
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_compand_roundtrip_exact_on_code_points(self, law):
+        from h3ronpy_spark.sources import wav as W
+
+        dec = (
+            W.ulaw_to_linear if law == "ulaw" else W.alaw_to_linear
+        )
+        enc = (
+            W.linear_to_ulaw if law == "ulaw" else W.linear_to_alaw
+        )
+        table = dec(np.arange(256))
+        # every decode value must re-encode to a byte that decodes back
+        # to itself (exact inverse on code points)
+        assert (dec(enc(table)) == table).all()
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_compand_error_bound(self, law):
+        from h3ronpy_spark.sources import wav as W
+
+        dec = (
+            W.ulaw_to_linear if law == "ulaw" else W.alaw_to_linear
+        )
+        enc = (
+            W.linear_to_ulaw if law == "ulaw" else W.linear_to_alaw
+        )
+        rng = np.random.default_rng(17)
+        lim = 8000 if law == "ulaw" else 4000
+        x = rng.integers(-lim, lim, 5000).astype(np.int16)
+        err = np.abs(dec(enc(x)).astype(np.int32) - x)
+        # logarithmic quantization: error grows with magnitude but is
+        # bounded by half the largest step
+        assert err.max() <= 256
+        small = np.abs(x) < 100
+        assert err[small].max() <= 8
+
+    @pytest.mark.parametrize("code,name", [(7, "ulaw"), (6, "alaw")])
+    def test_wav_decode_g711(self, code, name):
+        from h3ronpy_spark.sources import wav as W
+
+        enc = (
+            W.linear_to_ulaw if name == "ulaw" else W.linear_to_alaw
+        )
+        dec = (
+            W.ulaw_to_linear if name == "ulaw" else W.alaw_to_linear
+        )
+        x = (np.sin(np.arange(400) / 10) * 3000).astype(np.int16)
+        payload = enc(x).tobytes()
+        fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(payload)) + payload
+        blob = (
+            b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        )
+        w = decode_wav(blob)
+        assert w.samples.dtype == np.int16
+        assert (w.samples == dec(np.frombuffer(payload, np.uint8))).all()
