@@ -482,7 +482,8 @@ def _q_image_resize(spark, sf):
 
     @pandas_udf(
         "struct<psnr_ok:boolean,prog_ok:boolean,"
-        "gif_ok:boolean,tiff_ok:boolean,bmp_ok:boolean>"
+        "gif_ok:boolean,tiff_ok:boolean,bmp_ok:boolean,"
+        "ico_ok:boolean>"
     )
     def codec_rt_ok(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
         import numpy as np
@@ -493,6 +494,7 @@ def _q_image_resize(spark, sf):
         )
         from h3ronpy_spark.sources.bmp import decode_bmp, encode_bmp
         from h3ronpy_spark.sources.gif import decode_gif, encode_gif
+        from h3ronpy_spark.sources.ico import decode_ico, encode_ico
         from h3ronpy_spark.sources.jpeg import (
             decode_jpeg,
             encode_jpeg,
@@ -500,8 +502,8 @@ def _q_image_resize(spark, sf):
             psnr_db,
         )
 
-        psnr_out, prog_out, gif_out, tiff_out, bmp_out = (
-            [], [], [], [], []
+        psnr_out, prog_out, gif_out, tiff_out, bmp_out, ico_out = (
+            [], [], [], [], [], []
         )
         tr = (0.001, 0.0, 8.0, 0.0, -0.001, 49.0)
         for blob, ww, hh in zip(b, w, h):
@@ -515,6 +517,9 @@ def _q_image_resize(spark, sf):
             )
             bmp_out.append(
                 bool(np.array_equal(decode_bmp(encode_bmp(band)), band))
+            )
+            ico_out.append(
+                bool(np.array_equal(decode_ico(encode_ico(band)), band))
             )
             ds = read_geotiff(write_geotiff(band, tr, nodata=0))
             tiff_out.append(
@@ -534,6 +539,7 @@ def _q_image_resize(spark, sf):
                 "gif_ok": gif_out,
                 "tiff_ok": tiff_out,
                 "bmp_ok": bmp_out,
+                "ico_ok": ico_out,
             }
         )
 
@@ -547,6 +553,7 @@ def _q_image_resize(spark, sf):
         F.col("jg.gif_ok").alias("gif_ok"),
         F.col("jg.tiff_ok").alias("tiff_ok"),
         F.col("jg.bmp_ok").alias("bmp_ok"),
+        F.col("jg.ico_ok").alias("ico_ok"),
     )
     return (
         feats.join(feats_png, "image_id")
@@ -564,6 +571,7 @@ def _q_image_resize(spark, sf):
             "gif_ok",
             "tiff_ok",
             "bmp_ok",
+            "ico_ok",
         )
     )
 
@@ -598,6 +606,39 @@ def _q_video_frames(spark, sf):
         F.round(F.col("embedding")[0].cast("double"), 6).alias("a_rms"),
         F.round(F.col("embedding")[2].cast("double"), 6).alias("a_zcr"),
     )
+
+    from h3ronpy_spark.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def g711_rt_ok(b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from h3ronpy_spark.sources import wav as W
+
+        out = []
+        for blob in b:
+            x = W.decode_wav(bytes(blob)).samples
+            # G.711 companding gate: exact inverse on decode-table code
+            # points for BOTH laws (CCITT g711 semantics)
+            ok = True
+            for dec, enc in (
+                (W.ulaw_to_linear, W.linear_to_ulaw),
+                (W.alaw_to_linear, W.linear_to_alaw),
+            ):
+                tab = dec(np.arange(256))
+                ok = ok and bool((dec(enc(tab)) == tab).all())
+                # lossy envelope on the real clip: max abs error within
+                # half the largest companding step at the clip's level
+                y = dec(enc(x)).astype(np.int32)
+                ok = ok and bool(
+                    np.abs(y - x.astype(np.int32)).max() <= 1024
+                )
+            out.append(ok)
+        return pd.Series(out)
+
+    g711 = clips.select(
+        "audio_id", g711_rt_ok(F.col("bytes")).alias("a_g711_ok")
+    )
     res = resample_audio(clips, 4000).select(
         "audio_id", F.col("n_samples").alias("a_resampled")
     )
@@ -607,12 +648,14 @@ def _q_video_frames(spark, sf):
     audio = (
         feats.join(res, "audio_id")
         .join(chunks, "audio_id")
+        .join(g711, "audio_id")
         .select(
             F.substring("audio_id", 4, 10).cast("int").alias("_mid"),
             "a_rms",
             "a_zcr",
             "a_resampled",
             "a_chunks",
+            "a_g711_ok",
         )
     )
     return (
