@@ -233,3 +233,22 @@ def final_sessions(sink_table: str, spark: SparkSession) -> DataFrame:
         ) where rev = __maxrev
         """
     )
+
+
+def stream_image_features(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over an images parquet directory (input_hint schema)
+    -> (image_id, embedding) via the SAME mapInPandas decode +
+    feature kernel the batch path uses (round 7).
+
+    This is the continuous-ingest form of the multimodal pipeline: a
+    map-only stream (no aggregation), so append mode needs no
+    watermark, and the codec registry snapshot is captured at
+    plan-build time exactly like the batch operator — a decoder
+    registered on the driver before calling this reaches every
+    micro-batch.  Batch/stream parity is test-pinned
+    (tests/test_spark_engine.py TestStreaming)."""
+    from ..operators.multimodal import extract_image_features
+    from ..sources.images import IMAGES_SCHEMA
+
+    src = spark.readStream.schema(IMAGES_SCHEMA).parquet(input_dir)
+    return extract_image_features(src)

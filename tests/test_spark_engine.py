@@ -1132,3 +1132,47 @@ class TestColumnWrapperSmoke:
             np_.array(both["compact"], dtype=np_.int64), 7
         )
         assert len(kids) == both["n_plain"] > 0
+
+
+class TestStreamingMultimodal:
+    def test_stream_image_features_matches_batch(self, spark, tmp_path):
+        """The multimodal decode+feature kernel runs unchanged on a
+        streaming DataFrame (map-only, append mode): streamed
+        embeddings must equal the batch embeddings row-for-row."""
+        import numpy as np
+
+        from h3ronpy_spark.operators.multimodal import (
+            extract_image_features,
+        )
+        from h3ronpy_spark.sources.images import synth_images
+        from h3ronpy_spark.streaming import stream_image_features
+
+        imgs = synth_images(spark, 40, seed=11)
+        in_dir = str(tmp_path / "imgs_in")
+        imgs.write.parquet(in_dir)
+
+        df = stream_image_features(spark, in_dir)
+        q = (
+            df.writeStream.format("memory")
+            .queryName("img_feats_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["image_id"]: r["embedding"]
+            for r in spark.sql(
+                "SELECT * FROM img_feats_stream"
+            ).collect()
+        }
+        want = {
+            r["image_id"]: r["embedding"]
+            for r in extract_image_features(
+                spark.read.parquet(in_dir)
+            ).collect()
+        }
+        assert set(got) == set(want) and len(got) == 40
+        for k in want:
+            assert np.allclose(got[k], want[k], atol=0), k
