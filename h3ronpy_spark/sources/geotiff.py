@@ -12,8 +12,10 @@ Scope (classic TIFF, the subset GDAL writes for single-band rasters):
 
   * II and MM byte orders; first IFD (the full-resolution image —
     later IFDs are GDAL overviews, deliberately skipped).
-  * Strip organization (StripOffsets/StripByteCounts/RowsPerStrip);
-    tiled TIFFs raise NotImplementedError with a registry pointer.
+  * Strip (StripOffsets/StripByteCounts/RowsPerStrip) AND tiled
+    (TileWidth/TileLength/TileOffsets/TileByteCounts) layouts — GDAL
+    writes tiles for large rasters; edge tiles are stored padded and
+    cropped on assembly.
   * Compression: none (1), LZW (5; MSB-first codes, early-change
     width schedule — NOT the GIF variant), PackBits (32773).
   * Horizontal-differencing predictor (317 = 2).
@@ -196,18 +198,14 @@ def read_geotiff(blob: bytes) -> GeoTiff:
         if vals is not None:
             tags[tag] = vals
 
-    if 322 in tags or 324 in tags:
-        raise NotImplementedError(
-            "tiled TIFF unsupported (strip layout only); register a "
-            "GDAL-backed reader for tiled rasters"
-        )
     try:
         w = int(tags[256][0])
         h = int(tags[257][0])
-        strip_offsets = [int(x) for x in tags[273]]
-        strip_counts = [int(x) for x in tags[279]]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
+    tiled = 324 in tags
+    if not tiled and 273 not in tags:
+        raise ValueError("TIFF missing StripOffsets/TileOffsets")
     spp = int(tags.get(277, [1])[0])
     bits_l = tags.get(258, [8])
     bits = int(bits_l[0])
@@ -223,13 +221,8 @@ def read_geotiff(blob: bytes) -> GeoTiff:
                                   "unsupported")
 
     dt = _dtype_of(bits, sample_format, e)
-    row_bytes = w * spp * dt.itemsize
 
-    chunks = []
-    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
-        want = nrows * row_bytes
-        raw = blob[off : off + cnt]
+    def _decompress(raw: bytes, want: int, label: str) -> bytes:
         if compression == 1:
             data = raw[:want]
         elif compression == 5:
@@ -247,20 +240,66 @@ def read_geotiff(blob: bytes) -> GeoTiff:
             )
         if len(data) < want:
             raise ValueError(
-                f"TIFF strip {si} underrun ({len(data)}/{want} bytes)"
+                f"TIFF {label} underrun ({len(data)}/{want} bytes)"
             )
-        a = np.frombuffer(data, dt, count=nrows * w * spp).reshape(
-            nrows, w, spp
+        return data
+
+    def _undiff(a: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return a
+        if dt.kind == "f":
+            raise NotImplementedError(
+                "floating-point predictor unsupported"
+            )
+        return np.cumsum(a.astype(np.int64), axis=1).astype(dt)
+
+    if tiled:
+        # tile grid: every tile is FULL tile_w x tile_h (edge tiles are
+        # padded in the file); assemble onto a padded canvas and crop
+        tile_w = int(tags.get(322, [w])[0])
+        tile_h = int(tags.get(323, [h])[0])
+        tile_offsets = [int(x) for x in tags[324]]
+        tile_counts = [int(x) for x in tags.get(325, [])]
+        if not tile_counts:
+            raise ValueError("tiled TIFF missing TileByteCounts")
+        tiles_x = (w + tile_w - 1) // tile_w
+        tiles_y = (h + tile_h - 1) // tile_h
+        canvas = np.zeros(
+            (tiles_y * tile_h, tiles_x * tile_w, spp), dt
         )
-        if predictor == 2:
-            if dt.kind == "f":
-                raise NotImplementedError(
-                    "floating-point predictor unsupported"
+        want = tile_h * tile_w * spp * dt.itemsize
+        for ti, (off, cnt) in enumerate(zip(tile_offsets, tile_counts)):
+            data = _decompress(blob[off : off + cnt], want, f"tile {ti}")
+            a = _undiff(
+                np.frombuffer(
+                    data, dt, count=tile_h * tile_w * spp
+                ).reshape(tile_h, tile_w, spp)
+            )
+            ty, tx = divmod(ti, tiles_x)
+            canvas[
+                ty * tile_h : (ty + 1) * tile_h,
+                tx * tile_w : (tx + 1) * tile_w,
+            ] = a
+        band = canvas[:h, :w]
+    else:
+        strip_offsets = [int(x) for x in tags[273]]
+        strip_counts = [int(x) for x in tags[279]]
+        row_bytes = w * spp * dt.itemsize
+        chunks = []
+        for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            data = _decompress(
+                blob[off : off + cnt], nrows * row_bytes, f"strip {si}"
+            )
+            chunks.append(
+                _undiff(
+                    np.frombuffer(
+                        data, dt, count=nrows * w * spp
+                    ).reshape(nrows, w, spp)
                 )
-            a = np.cumsum(a.astype(np.int64), axis=1).astype(dt)
-        chunks.append(a)
-    band = np.concatenate(chunks, axis=0)
-    band = band[..., 0] if spp == 1 else band
+            )
+        band = np.concatenate(chunks, axis=0)
+    band = np.ascontiguousarray(band[..., 0] if spp == 1 else band)
 
     transform = None
     if 34264 in tags and len(tags[34264]) >= 16:

@@ -220,13 +220,88 @@ class TestHandBuilt:
         )
         assert (ds.band == band).all()
 
-    def test_tiled_raises(self):
-        band = np.zeros((4, 4), np.uint8)
-        blob = _build_tiff(
-            band, extra_tags=[(322, 3, 1, [16]), (323, 3, 1, [16])]
-        )
-        with pytest.raises(NotImplementedError, match="tiled"):
-            read_geotiff(blob)
+    def _build_tiled(self, band, tile_w, tile_h, byte_order="II"):
+        """Hand-assembled tiled TIFF (uncompressed): full-size tiles
+        with zero padding at the right/bottom edges."""
+        e = "<" if byte_order == "II" else ">"
+        h, w = band.shape
+        tiles_x = (w + tile_w - 1) // tile_w
+        tiles_y = (h + tile_h - 1) // tile_h
+        tiles = []
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                t = np.zeros((tile_h, tile_w), band.dtype)
+                part = band[
+                    ty * tile_h : (ty + 1) * tile_h,
+                    tx * tile_w : (tx + 1) * tile_w,
+                ]
+                t[: part.shape[0], : part.shape[1]] = part
+                tiles.append(t.tobytes())
+        n_tiles = len(tiles)
+        entries = [
+            (256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, 1, [8]),
+            (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+            (339, 3, 1, [1]), (322, 3, 1, [tile_w]),
+            (323, 3, 1, [tile_h]),
+        ]
+        n = len(entries) + 2
+        ifd_size = 2 + 12 * n + 4
+        tables_pos = 8 + ifd_size
+        data_pos = tables_pos + 8 * n_tiles
+        offs, cur = [], data_pos
+        for t in tiles:
+            offs.append(cur)
+            cur += len(t)
+        if n_tiles == 1:
+            entries.append((324, 4, 1, [offs[0]]))
+            entries.append((325, 4, 1, [len(tiles[0])]))
+            data_pos = tables_pos
+            offs = [data_pos]
+            entries[-2] = (324, 4, 1, [data_pos])
+            tables_raw = b""
+        else:
+            entries.append((324, 4, n_tiles, None))
+            entries.append((325, 4, n_tiles, None))
+            tables_raw = b"".join(
+                struct.pack(e + "I", o) for o in offs
+            ) + b"".join(struct.pack(e + "I", len(t)) for t in tiles)
+        ifd = struct.pack(e + "H", n)
+        for tag, typ, cnt, vals in sorted(entries, key=lambda x: x[0]):
+            if vals is None:  # out-of-line table
+                ptr = tables_pos if tag == 324 else tables_pos + 4 * n_tiles
+                ifd += struct.pack(e + "HHI", tag, typ, cnt)
+                ifd += struct.pack(e + "I", ptr)
+            else:
+                raw = b"".join(
+                    struct.pack(e + {3: "H", 4: "I"}[typ], v)
+                    for v in vals
+                ).ljust(4, b"\x00")
+                ifd += struct.pack(e + "HHI", tag, typ, cnt) + raw
+        ifd += struct.pack(e + "I", 0)
+        blob = byte_order.encode() + struct.pack(e + "H", 42)
+        blob += struct.pack(e + "I", 8) + ifd + tables_raw
+        for t in tiles:
+            blob += t
+        return blob
+
+    def test_tiled_exact_grid(self):
+        band = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        got = read_geotiff(self._build_tiled(band, 2, 2))
+        assert (got.band == band).all()
+
+    def test_tiled_padded_edges(self):
+        """5x7 image with 4x4 tiles: right/bottom tiles padded."""
+        rng = np.random.default_rng(51)
+        band = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+        got = read_geotiff(self._build_tiled(band, 4, 4))
+        assert got.band.shape == (5, 7)
+        assert (got.band == band).all()
+
+    def test_tiled_single_tile(self):
+        band = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        got = read_geotiff(self._build_tiled(band, 4, 4))
+        assert got.band.shape == (3, 4)
+        assert (got.band == band).all()
 
     def test_bad_signature(self):
         with pytest.raises(ValueError, match="byte-order"):
