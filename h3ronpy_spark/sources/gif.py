@@ -377,3 +377,146 @@ def register_gif_codec() -> None:
     from .images import register_codec
 
     register_codec("gif", gif_codec)
+
+
+# ---------------------------------------------------------------------------
+# animation (round 7): frame sampling with disposal compositing
+# ---------------------------------------------------------------------------
+
+
+def decode_gif_frames(
+    blob: bytes, every_n: int = 1, max_frames: int | None = None
+) -> list:
+    """Decode an animated GIF into composed RGB canvases, sampling
+    every `every_n`-th frame (the GIF analogue of video frame
+    sampling: training pipelines sample animation frames, they do not
+    play them).
+
+    Disposal methods (GIF89a GCE): 0/1 leave the canvas in place, 2
+    restores the frame RECT to the background color, 3 restores the
+    canvas to its state before the frame.  Transparent pixels never
+    overwrite the running canvas.  Returns a list of (h, w, 3) uint8
+    arrays (the composed logical screen per sampled frame)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob[pos : pos + 3 * gct_n], np.uint8).reshape(
+            -1, 3
+        )
+        pos += 3 * gct_n
+    bg_rgb = (
+        gct[bg_idx]
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+
+    transparent_idx = None
+    disposal = 0
+    out: list = []
+    frame_no = 0
+    n = len(blob)
+    while pos < n:
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = blob[pos]
+            pos += 1
+            payload, pos = _read_subblocks(blob, pos)
+            if label == 0xF9 and len(payload) >= 4:
+                flags = payload[0]
+                disposal = (flags >> 2) & 0x07
+                transparent_idx = payload[3] if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        lct = None
+        if fpacked & 0x80:
+            lct_n = 2 << (fpacked & 0x07)
+            lct = np.frombuffer(
+                blob[pos : pos + 3 * lct_n], np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * lct_n
+        interlaced = bool(fpacked & 0x40)
+        min_code_size = blob[pos]
+        pos += 1
+        data, pos = _read_subblocks(blob, pos)
+        idx = _lzw_decode(data, min_code_size, fw * fh)
+        if len(idx) < fw * fh:
+            raise ValueError(
+                f"GIF: LZW underrun ({len(idx)}/{fw * fh} pixels)"
+            )
+        rows = idx.reshape(fh, fw)
+        if interlaced:
+            rows = _deinterlace(rows)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("GIF: frame has no color table")
+
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        rgb = palette[np.minimum(rows, len(palette) - 1)]
+        if transparent_idx is not None:
+            opaque = rows != transparent_idx
+            region[opaque] = rgb[opaque]
+        else:
+            region[:] = rgb
+
+        if frame_no % every_n == 0:
+            out.append(canvas.copy())
+            if max_frames is not None and len(out) >= max_frames:
+                return out
+        frame_no += 1
+
+        # post-frame disposal for the NEXT frame's starting canvas
+        if disposal == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal = 0
+        transparent_idx = None
+    return out
+
+
+def encode_gif_animation(
+    frames: list,
+    transparent_idx: int | None = None,
+    disposals: list | None = None,
+) -> bytes:
+    """Encode greyscale uint8 frames (all same shape) as an animated
+    GIF89a with an identity grey palette; per-frame disposal methods
+    optional (default 0)."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) or f.dtype != np.uint8 for f in frames):
+        raise ValueError("all frames must be uint8 (h, w)")
+    palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    out += palette.tobytes()
+    for i, f in enumerate(frames):
+        disp = (disposals[i] if disposals else 0) & 0x07
+        flags = (disp << 2) | (0x01 if transparent_idx is not None else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            [flags, 0, 0, transparent_idx or 0]
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)
+        body = _lzw_encode(f.ravel(), 8)
+        for j in range(0, len(body), 255):
+            chunk = body[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -273,3 +273,99 @@ class TestSparkSeam:
             assert abs(feats["embedding"][0] - band.mean()) < 1e-4
         finally:
             unregister_codec("gif")
+
+
+class TestAnimation:
+    def test_multi_frame_roundtrip(self):
+        from h3ronpy_spark.sources.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        rng = np.random.default_rng(19)
+        frames = [
+            rng.integers(0, 256, (6, 9)).astype(np.uint8)
+            for _ in range(5)
+        ]
+        got = decode_gif_frames(encode_gif_animation(frames))
+        assert len(got) == 5
+        for f, g in zip(frames, got):
+            assert g.shape == (6, 9, 3)
+            assert (g[..., 0] == f).all() and (g[..., 1] == f).all()
+
+    def test_sampling_every_n_and_cap(self):
+        from h3ronpy_spark.sources.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        frames = [
+            np.full((2, 2), 10 * i, np.uint8) for i in range(1, 9)
+        ]
+        blob = encode_gif_animation(frames)
+        every3 = decode_gif_frames(blob, every_n=3)
+        assert [int(f[0, 0, 0]) for f in every3] == [10, 40, 70]
+        capped = decode_gif_frames(blob, max_frames=2)
+        assert len(capped) == 2
+
+    def test_transparency_composes_over_previous(self):
+        """Frame 2's transparent pixels must show frame 1's canvas."""
+        from h3ronpy_spark.sources.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        f1 = np.full((2, 2), 50, np.uint8)
+        f2 = np.array([[0, 60], [60, 0]], np.uint8)  # 0 = transparent
+        got = decode_gif_frames(
+            encode_gif_animation([f1, f2], transparent_idx=0)
+        )
+        assert (got[0][..., 0] == 50).all()
+        assert got[1][..., 0].tolist() == [[50, 60], [60, 50]]
+
+    def test_disposal_2_restores_background(self):
+        """Disposal 2 clears the frame rect to background before the
+        next frame; a fully-transparent next frame then shows bg."""
+        from h3ronpy_spark.sources.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        f1 = np.full((2, 2), 70, np.uint8)
+        f2 = np.zeros((2, 2), np.uint8)  # fully transparent (idx 0)
+        blob = encode_gif_animation(
+            [f1, f2], transparent_idx=0, disposals=[2, 0]
+        )
+        got = decode_gif_frames(blob)
+        assert (got[0][..., 0] == 70).all()
+        # bg index 0 -> palette grey 0
+        assert (got[1][..., 0] == 0).all()
+
+    def test_disposal_3_restores_previous(self):
+        from h3ronpy_spark.sources.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        f1 = np.full((2, 2), 40, np.uint8)
+        f2 = np.full((2, 2), 90, np.uint8)
+        f3 = np.zeros((2, 2), np.uint8)  # transparent: shows canvas
+        blob = encode_gif_animation(
+            [f1, f2, f3], transparent_idx=0, disposals=[0, 3, 0]
+        )
+        got = decode_gif_frames(blob)
+        assert (got[1][..., 0] == 90).all()
+        # disposal 3 on frame 2 restored frame 1's canvas before f3
+        assert (got[2][..., 0] == 40).all()
+
+    def test_first_frame_matches_decode_gif(self):
+        from h3ronpy_spark.sources.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        rng = np.random.default_rng(23)
+        f = rng.integers(0, 256, (5, 5)).astype(np.uint8)
+        frames = decode_gif_frames(encode_gif_animation([f]))
+        single = decode_gif(encode_gif(f))
+        assert (frames[0][..., 0] == single).all()
