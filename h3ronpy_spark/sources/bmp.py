@@ -21,6 +21,43 @@ import numpy as np
 __all__ = ["decode_bmp", "encode_bmp", "bmp_codec", "register_bmp_codec"]
 
 
+def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8: (count, value) runs; count==0 escapes: 0 end-of-line,
+    1 end-of-bitmap, 2 delta (dx, dy — skipped pixels stay 0), else an
+    absolute run of N literal bytes padded to a word boundary.  Rows
+    are stored bottom-up (caller flips)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 1 < n and y < h:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            end = min(x + cnt, w)
+            out[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                break
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` literals, word-padded
+            run = data[pos : pos + val]
+            end = min(x + val, w)
+            out[y, x:end] = np.frombuffer(
+                run[: end - x], np.uint8
+            )
+            x = end
+            pos += val + (val & 1)
+    return out
+
+
 def decode_bmp(blob: bytes) -> np.ndarray:
     if blob[:2] != b"BM":
         raise ValueError("not a BMP: bad signature")
@@ -32,23 +69,31 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     planes, bpp = struct.unpack("<HH", blob[26:30])
     (compression,) = struct.unpack("<I", blob[30:34])
     (clr_used,) = struct.unpack("<I", blob[46:50])
-    if compression not in (0, 3):
+    if compression not in (0, 1, 3):
         raise NotImplementedError(
-            f"BMP compression {compression} unsupported (BI_RGB only)"
+            f"BMP compression {compression} unsupported "
+            "(BI_RGB/BI_RLE8 only)"
         )
     if compression == 3 and bpp not in (32,):
         raise NotImplementedError("BI_BITFIELDS only handled at 32bpp")
+    if compression == 1 and bpp != 8:
+        raise NotImplementedError("BI_RLE8 requires 8 bpp")
     top_down = h_raw < 0
     h = abs(h_raw)
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"{bpp}-bpp BMP unsupported")
 
-    row_bytes = (w * bpp // 8 + 3) & ~3
-    px = np.frombuffer(
-        blob, np.uint8, count=h * row_bytes, offset=data_off
-    ).reshape(h, row_bytes)
-    if not top_down:
+    if compression == 1:
+        px = _decode_rle8(blob[data_off:], w, h)
+        # RLE bitmaps are always bottom-up
         px = px[::-1]
+    else:
+        row_bytes = (w * bpp // 8 + 3) & ~3
+        px = np.frombuffer(
+            blob, np.uint8, count=h * row_bytes, offset=data_off
+        ).reshape(h, row_bytes)
+        if not top_down:
+            px = px[::-1]
 
     if bpp == 8:
         n_colors = clr_used or 256

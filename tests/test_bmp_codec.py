@@ -48,11 +48,56 @@ class TestHandBuilt:
         with pytest.raises(ValueError, match="signature"):
             decode_bmp(b"XX" + _hand_built_2x2_24bpp()[2:])
 
-    def test_rle_rejected(self):
+    def test_rle8_on_24bpp_rejected(self):
         blob = bytearray(_hand_built_2x2_24bpp())
-        blob[30:34] = struct.pack("<I", 1)  # BI_RLE8
+        blob[30:34] = struct.pack("<I", 1)  # BI_RLE8 but 24 bpp
+        with pytest.raises(NotImplementedError, match="8 bpp"):
+            decode_bmp(bytes(blob))
+
+    def test_rle4_rejected(self):
+        blob = bytearray(_hand_built_2x2_24bpp())
+        blob[30:34] = struct.pack("<I", 2)  # BI_RLE4
         with pytest.raises(NotImplementedError, match="compression"):
             decode_bmp(bytes(blob))
+
+
+def _rle8_bmp(w: int, h: int, rle: bytes) -> bytes:
+    """8-bit grey-palette BMP whose pixel data is the given RLE8
+    stream (bottom-up rows per the format)."""
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 2835, 2835, 0, 0
+    )
+    return hdr + pal + rle
+
+
+class TestRle8:
+    def test_runs_and_eol(self):
+        """Bottom row: 3x10 then EOL; top row: 1x20, 2x30, EOL, EOB."""
+        rle = bytes(
+            [3, 10, 0, 0,  # run, end-of-line
+             1, 20, 2, 30, 0, 0,  # two runs, end-of-line
+             0, 1]  # end-of-bitmap
+        )
+        got = decode_bmp(_rle8_bmp(3, 2, rle))
+        assert got.tolist() == [[20, 30, 30], [10, 10, 10]]
+
+    def test_absolute_run_word_padded(self):
+        """Absolute mode with odd count carries a pad byte."""
+        rle = bytes([0, 3, 7, 8, 9, 0,  # absolute 3 literals + pad
+                     0, 0, 0, 1])
+        got = decode_bmp(_rle8_bmp(3, 1, rle))
+        assert got.tolist() == [[7, 8, 9]]
+
+    def test_delta_skips_stay_background(self):
+        """Delta (2,1) jumps; skipped pixels remain index 0."""
+        rle = bytes([1, 50, 0, 2, 2, 1, 1, 60, 0, 1])
+        got = decode_bmp(_rle8_bmp(4, 2, rle))
+        # bottom-up: row0 of the RLE stream is the BOTTOM image row
+        assert got[1].tolist() == [50, 0, 0, 0]
+        assert got[0].tolist() == [0, 0, 0, 60]
 
 
 class TestRoundtrip:
