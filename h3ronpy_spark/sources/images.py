@@ -326,10 +326,14 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode the image payload to a (h, w) array of the fmt's dtype.
 
     raw* formats are exact (row-major little-endian) and built in; any
-    other fmt dispatches through the `register_codec` registry.  Real
-    codecs (png/jpeg/webp) are not available in this container — the
-    Spark-side plumbing (schema, batching, partitioning) is identical, so
-    unregistered formats raise a clear error instead."""
+    other fmt dispatches through the `register_codec` registry.  The
+    repo ships pure-Python registry codecs for png, jpeg (baseline +
+    progressive, CMYK/YCCK, EXIF), gif (incl. animation sampling),
+    tiff/geotiff (strips + tiles, LZW/Deflate/PackBits), bmp (incl.
+    RLE8), ico, and pnm — see sources/<fmt>.py, each with a
+    register_<fmt>_codec() one-liner.  Formats without a registered
+    decoder (e.g. webp/avif, which need a native library) raise a
+    clear error instead."""
     return decode_image_with(_CODECS, blob, w, h, fmt)
 
 
