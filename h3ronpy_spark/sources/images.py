@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PIXEL_DEG = 0.001
@@ -214,7 +215,16 @@ def synth_captions(
     generation).  At 10^12-image scale this is the stand-in for a
     column-pruned Iceberg scan of two string columns; the flagship joins
     it at per-image granularity instead of hauling a duplicated caption
-    through every exploded tile row (see plans/flagship.py)."""
+    through every exploded tile row (see plans/flagship.py).
+
+    Round-8: the generator itself is ~90 ms of Python for 60k rows —
+    what made this table cost 1.8 s per flagship action was running it
+    as 256 mapInPandas tasks (the ~40 ms/task pandas-runner cost noted
+    at _default_parts).  Callers should let `partitions` default so the
+    tiny projection runs in one task wave (a wrapping-int64 SQL rewrite
+    of splitmix64 was prototyped but Spark 4's ANSI mode rejects the
+    overflowing multiplies; the few-task Python stage is within noise
+    of that plan)."""
     parts = partitions or _default_parts(spark, n)
     base = spark.range(0, n, 1, parts)
 
