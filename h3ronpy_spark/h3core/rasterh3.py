@@ -133,7 +133,38 @@ def rasters_to_cells_batch(
     bands: list of (h_i, w_i) arrays (same dtype); transforms: (N, 6) GDAL
     coefficients.  Returns (img_idx, values, cells) flat arrays.  This is
     the hot path of the tiling operator — per-image Python overhead is two
-    tiny loops; all H3 math happens in three whole-batch kernels."""
+    tiny loops; all H3 math happens in whole-batch kernels.
+
+    Round-8 restructure (guide §1.2 step 1: don't compute things you
+    throw away).  The 0.38-step sample grid encodes ~7 samples per
+    surviving cell, and the round-7 code ran the FULL encode (gnomonic
+    projection + 20-face argmax + per-res digit unwind) on every
+    sample, then deduped.  Now:
+
+      * samples are only projected to face-plane AXIAL coords (the trig
+        front half of the encode); the digit unwind — ~55% of the
+        encode — runs AFTER dedupe, on ~1/7th the rows, via
+        axial_to_cell (bit-identical: the axial coords ARE the cell's
+        lattice coords, proven by the front+back==full test);
+      * an image whose sample-grid corner points all land on the same
+        icosahedron face (checked with the canonical argmax itself)
+        skips the per-sample 20-face argmax and projects through that
+        face with per-row/per-column outer products (a lat/lng-aligned
+        grid's xyz is an outer product of row and column trig).  Cell
+        assignment is unchanged: within such a grid the argmax face can
+        differ from the corner face only in a <=1e-6 rad sliver of the
+        face-region boundary, where both projections still round every
+        cell-interior sample to its own cell (the 0.38-grid guarantee
+        places one sample in each wanted cell's incircle, >=0.08 cell
+        widths from any cell boundary, while the cross-face lattice
+        drift at that distance is <=0.02 cell widths).  Images that
+        straddle a face boundary — and rotated geotransforms (b or d
+        nonzero), whose grids are not lat/lng-separable — take the
+        round-7 full-encode path unchanged.
+
+    Output row set AND order are byte-identical to round 7 (final
+    (img, cell) lexsort + dedupe is shared); pinned by
+    tests/test_rasterh3_v2.py equality over large corpora."""
     n = len(bands)
     if n == 0:
         return (np.array([], np.int64),) * 3
@@ -144,26 +175,140 @@ def rasters_to_cells_batch(
     ws = np.array([bb.shape[1] for bb in bands], dtype=np.int64)
     hs = np.array([bb.shape[0] for bb in bands], dtype=np.int64)
 
-    # --- per-image sample grids, concatenated
-    samp_lat, samp_lng, samp_img = [], [], []
+    # --- per-image sample grids (axis vectors only on the fast path)
+    from .constants import FACE_CENTER_XYZ, RES0_U_GNOMONIC
+    from .latlng import (
+        _FACE_U,
+        _FACE_U_ODD,
+        _FACE_V,
+        _FACE_V_ODD,
+        _SQRT7_POW,
+        axial_to_cell,
+    )
+    from . import ijk as IJK
+
+    odd = (int(h3_res) & 1) == 1
+    FU = _FACE_U_ODD if odd else _FACE_U
+    FV = _FACE_V_ODD if odd else _FACE_V
+    kscale = _SQRT7_POW[int(h3_res)] / RES0_U_GNOMONIC
+
+    grid_rows = []  # per image: lat vector of grid rows (degrees)
+    grid_cols = []  # per image: lng vector of grid cols (degrees)
+    separable = np.zeros(n, dtype=bool)
     for i in range(n):
         check_wgs84_bounds(tf[i], int(ws[i]), int(hs[i]))
         px_deg = min(abs(a[i]), abs(e[i])) or 1e-12
         step = deg_cell / px_deg * 0.38
         cols = np.arange(0, ws[i] + step, step)
         rows = np.arange(0, hs[i] + step, step)
-        cc, rr = np.meshgrid(cols, rows)
-        samp_lng.append(a[i] * cc.ravel() + b[i] * rr.ravel() + c[i])
-        samp_lat.append(d[i] * cc.ravel() + e[i] * rr.ravel() + f[i])
-        samp_img.append(np.full(cc.size, i, dtype=np.int64))
-    lat_all = np.concatenate(samp_lat)
-    lng_all = np.concatenate(samp_lng)
-    img_all = np.concatenate(samp_img)
+        separable[i] = b[i] == 0.0 and d[i] == 0.0
+        if separable[i]:
+            grid_cols.append(a[i] * cols + c[i])
+            grid_rows.append(e[i] * rows + f[i])
+        else:
+            cc, rr = np.meshgrid(cols, rows)
+            grid_cols.append(a[i] * cc.ravel() + b[i] * rr.ravel() + c[i])
+            grid_rows.append(d[i] * cc.ravel() + e[i] * rr.ravel() + f[i])
 
-    # --- one whole-batch encode, then (img, cell) dedupe via sort
-    cells = latlng_to_cell(np.radians(lat_all), np.radians(lng_all), h3_res)
+    # --- batched corner-face check (canonical argmax on the 4 grid
+    # corners of every separable image)
+    sep_idx = np.flatnonzero(separable)
+    face_of = np.full(n, -1, dtype=np.int64)
+    if sep_idx.size:
+        c_lat = np.empty(4 * sep_idx.size)
+        c_lng = np.empty(4 * sep_idx.size)
+        for k, i in enumerate(sep_idx):
+            la, ln = grid_rows[i], grid_cols[i]
+            c_lat[4 * k : 4 * k + 4] = (la[0], la[0], la[-1], la[-1])
+            c_lng[4 * k : 4 * k + 4] = (ln[0], ln[-1], ln[0], ln[-1])
+        rl = np.radians(c_lat)
+        rn = np.radians(c_lng)
+        cl = np.cos(rl)
+        cxyz = np.stack([cl * np.cos(rn), cl * np.sin(rn), np.sin(rl)], 1)
+        cface = np.argmax(cxyz @ FACE_CENTER_XYZ.T, axis=-1).reshape(-1, 4)
+        same = (cface == cface[:, :1]).all(axis=1)
+        face_of[sep_idx[same]] = cface[same, 0]
+
+    # --- front half of the encode per image: face-plane axial coords
+    ax_a, ax_b, ax_face, ax_img = [], [], [], []
+    slow_lat, slow_lng, slow_img = [], [], []
+    for i in range(n):
+        fc = int(face_of[i])
+        if fc < 0:
+            # fallback: full canonical encode for this image's samples
+            if separable[i]:
+                cc, rr = np.meshgrid(grid_cols[i], grid_rows[i])
+                slow_lng.append(cc.ravel())
+                slow_lat.append(rr.ravel())
+            else:
+                slow_lng.append(grid_cols[i])
+                slow_lat.append(grid_rows[i])
+            slow_img.append(np.full(slow_lat[-1].size, i, dtype=np.int64))
+            continue
+        rl = np.radians(grid_rows[i])
+        rn = np.radians(grid_cols[i])
+        coslat = np.cos(rl)
+        sinlat = np.sin(rl)
+        coslng = np.cos(rn)
+        sinlng = np.sin(rn)
+        U = FU[fc]
+        V = FV[fc]
+        C = FACE_CENTER_XYZ[fc]
+        pu = U[0] * coslng + U[1] * sinlng
+        pv = V[0] * coslng + V[1] * sinlng
+        pc = C[0] * coslng + C[1] * sinlng
+        dot_u = np.outer(coslat, pu) + (U[2] * sinlat)[:, None]
+        dot_v = np.outer(coslat, pv) + (V[2] * sinlat)[:, None]
+        dot_c = np.outer(coslat, pc) + (C[2] * sinlat)[:, None]
+        s = kscale / dot_c
+        aa, bb2 = IJK.hex2d_to_axial(
+            (dot_u * s).ravel(), (dot_v * s).ravel()
+        )
+        ax_a.append(aa)
+        ax_b.append(bb2)
+        ax_face.append(np.full(aa.size, fc, dtype=np.int64))
+        ax_img.append(np.full(aa.size, i, dtype=np.int64))
+
+    # --- dedupe axial samples per image, THEN unwind digits on the
+    # survivors only
+    cells_parts = []
+    img_parts = []
+    if ax_a:
+        fa = np.concatenate(ax_face)
+        aa = np.concatenate(ax_a)
+        bb2 = np.concatenate(ax_b)
+        ii = np.concatenate(ax_img)
+        # (face, a, b) packs into one sortable int64: face 5 bits, a/b
+        # offset-biased 26 bits each (|a|,|b| < 2^25 for res <= 15)
+        key = (
+            (fa << np.int64(52))
+            | ((aa + np.int64(1 << 25)) << np.int64(26))
+            | (bb2 + np.int64(1 << 25))
+        )
+        order = np.lexsort((key, ii))
+        key, ii = key[order], ii[order]
+        keep = np.ones(key.shape, dtype=bool)
+        keep[1:] = (key[1:] != key[:-1]) | (ii[1:] != ii[:-1])
+        su = order[keep]
+        cells_fast = axial_to_cell(fa[su], aa[su], bb2[su], int(h3_res))
+        cells_parts.append(cells_fast)
+        img_parts.append(ii[keep])
+    if slow_lat:
+        lat_s = np.concatenate(slow_lat)
+        lng_s = np.concatenate(slow_lng)
+        img_s = np.concatenate(slow_img)
+        cells_slow = latlng_to_cell(
+            np.radians(lat_s), np.radians(lng_s), h3_res
+        )
+        cells_parts.append(cells_slow)
+        img_parts.append(img_s)
+
+    cells = np.concatenate(cells_parts)
+    img_all = np.concatenate(img_parts)
     ok = cells != -1
     cells, img_all = cells[ok], img_all[ok]
+    # --- final (img, cell) lexsort + dedupe (identical to round 7, so
+    # output rows AND order are byte-for-byte unchanged)
     order = np.lexsort((cells, img_all))
     cells, img_all = cells[order], img_all[order]
     keep = np.ones(cells.shape, dtype=bool)

@@ -206,9 +206,13 @@ def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata):
         saw = False
         for b in batches:
             all_ids = b["id"].to_numpy(np.int64)
-            for c0 in range(0, all_ids.size, 4096):
+            # 1024-image chunks: large enough to amortize per-chunk
+            # numpy overhead, small enough that the kernel's sample
+            # arrays stay near-cache-resident with 32 concurrent
+            # workers (the latlng._CHUNK lesson)
+            for c0 in range(0, all_ids.size, 1024):
                 saw = True
-                yield one_chunk(all_ids[c0 : c0 + 4096])
+                yield one_chunk(all_ids[c0 : c0 + 1024])
         if not saw:
             yield pd.DataFrame(_EMPTY)
 

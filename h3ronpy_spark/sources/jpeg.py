@@ -515,6 +515,170 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _gray_header(h: int, w: int, q_lum: np.ndarray) -> bytes:
+    """SOI..SOS header for a greyscale baseline stream — exactly the
+    bytes encode_jpeg emits for a (h, w) uint8 input."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    payload = bytes([0]) + bytes(int(x) for x in q_lum.reshape(-1)[_ZIGZAG])
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    payload = b""
+    for tid, (bits, values) in ((0x00, _DC_LUM), (0x10, _AC_LUM)):
+        payload += bytes([tid]) + bytes(bits) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return bytes(out)
+
+
+def encode_jpeg_batch_gray(
+    bands: list, quality: int = 90
+) -> list[bytes]:
+    """Batched greyscale baseline encode: byte-identical per image to
+    encode_jpeg(band, quality) (pinned by test), but the DCT, the
+    quantization, and every stage of the entropy coder run ONCE over
+    the concatenated blocks of the whole batch (round-8: the per-image
+    encoder spent most of its 565 us/img in ~40 numpy calls on tiny
+    arrays; batching amortizes that across the corpus generators, which
+    encode 60k images per bench rep).  The per-image tail (bit-stream
+    split, byte padding, FF stuffing, header) stays per image because
+    the JPEG byte stream is per image.
+
+    Batches beyond 256 images are processed in 256-image groups: the
+    batched stages' temporaries grow with the group (a 4096-image group
+    is ~60 MB per DCT temporary), and with every core running one this
+    box goes DRAM-bound and LOSES to the cache-resident per-image
+    encoder — the same chunking lesson as latlng._CHUNK.  Images are
+    independent streams (DC prediction resets per image), so grouping
+    cannot change bytes."""
+    q_lum, _ = _quality_tables(quality)
+    n = len(bands)
+    if n == 0:
+        return []
+    if n > 256:
+        out: list[bytes] = []
+        for g0 in range(0, n, 256):
+            out.extend(
+                encode_jpeg_batch_gray(bands[g0 : g0 + 256], quality)
+            )
+        return out
+    # --- per-image block extraction (pad to MCU grid, 8x8 raster order)
+    blk_parts = []
+    counts = np.empty(n, np.int64)
+    dims = []
+    for i, arr in enumerate(bands):
+        arr = np.asarray(arr)
+        if arr.dtype != np.uint8 or arr.ndim != 2:
+            raise ValueError("encode_jpeg_batch_gray needs (h, w) uint8")
+        h, w = arr.shape
+        mcux = (w + 7) // 8
+        mcuy = (h + 7) // 8
+        comp = _pad_to(arr.astype(np.float64), mcuy * 8, mcux * 8)
+        blocks = (
+            comp.reshape(mcuy, 8, mcux, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        blk_parts.append(blocks)
+        counts[i] = blocks.shape[0]
+        dims.append((h, w))
+    allb = np.concatenate(blk_parts) - 128.0
+    # NOTE: keep the broadcast matmul form — a two-big-GEMM transpose
+    # reformulation changes float summation order and flips np.round on
+    # half-ulp coefficients, breaking byte identity with encode_jpeg
+    coef = _D @ allb @ _D.T
+    qz = np.round(coef / q_lum).astype(np.int32)
+    A = qz.reshape(-1, 64)[:, _ZIGZAG].astype(np.int64)
+    tot = A.shape[0]
+    starts_b = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    img_of_block = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    # --- DC differentials with a reset at every image boundary
+    dc = A[:, 0]
+    dcdiff = dc.copy()
+    dcdiff[1:] -= dc[:-1]
+    dcdiff[starts_b] = dc[starts_b]
+    dsize = _SIZE_LUT[np.abs(dcdiff)]
+    dmag = np.where(dcdiff >= 0, dcdiff, dcdiff + (1 << dsize) - 1)
+    dc_full = (_DC_CODE[0, dsize] << dsize) | dmag
+    dc_flen = _DC_LEN[0, dsize] + dsize
+    dc_key = np.arange(tot) * 130
+
+    # --- AC / ZRL / EOB tokens (same construction as _entropy_encode,
+    # single table, global block ids keep (img, block, slot) order)
+    bmat = A[:, 1:]
+    bid, pos = np.nonzero(bmat)
+    vals = bmat[bid, pos]
+    same = np.empty(bid.shape, bool)
+    if bid.size:
+        same[0] = False
+        same[1:] = bid[1:] == bid[:-1]
+    prevpos = np.where(same, np.concatenate((pos[:1] * 0, pos[:-1])), -1)
+    run = pos - prevpos - 1
+    z = run >> 4
+    asize = _SIZE_LUT[np.abs(vals)]
+    amag = np.where(vals >= 0, vals, vals + (1 << asize) - 1)
+    sym = ((run & 15) << 4) | asize
+    ac_full = (_AC_CODE[0, sym] << asize) | amag
+    ac_flen = _AC_LEN[0, sym] + asize
+    ac_key = bid * 130 + 2 * (pos + 1)
+    zi = np.repeat(np.arange(bid.shape[0]), z)
+    zrl_full = np.full(zi.shape, _AC_CODE[0, 0xF0])
+    zrl_flen = np.full(zi.shape, _AC_LEN[0, 0xF0])
+    zrl_key = bid[zi] * 130 + 2 * (pos[zi] + 1) - 1
+    ebid = np.flatnonzero(bmat[:, 62] == 0)
+    eob_full = np.full(ebid.shape, _AC_CODE[0, 0x00])
+    eob_flen = np.full(ebid.shape, _AC_LEN[0, 0x00])
+    eob_key = ebid * 130 + 129
+
+    keys = np.concatenate([dc_key, zrl_key, ac_key, eob_key])
+    full = np.concatenate([dc_full, zrl_full, ac_full, eob_full])
+    flen = np.concatenate([dc_flen, zrl_flen, ac_flen, eob_flen])
+    order2 = np.argsort(keys, kind="stable")
+    keys = keys[order2]
+    full = full[order2]
+    flen = flen[order2]
+
+    # --- bit expansion in cache-resident chunks (one global matrix is
+    # ~20 DRAM passes over >100 MB of temporaries — measured 2.3 s for
+    # 670k tokens; 32k-token chunks keep every temporary in L2), then
+    # split the stream per image
+    m = int(flen.max()) if flen.size else 0
+    parts = []
+    marange = np.arange(m)[None, :]
+    for c0 in range(0, flen.size, 32768):
+        fl = flen[c0 : c0 + 32768]
+        fu = full[c0 : c0 + 32768]
+        sh = fl[:, None] - 1 - marange
+        bits = ((fu[:, None] >> np.maximum(sh, 0)) & 1).astype(np.uint8)
+        parts.append(bits[sh >= 0])
+    stream = np.concatenate(parts) if parts else np.array([], np.uint8)
+    img_of_token = img_of_block[keys // 130]
+    bits_per_img = np.bincount(img_of_token, weights=flen, minlength=n)
+    cuts = np.cumsum(bits_per_img).astype(np.int64)
+
+    out = []
+    prev = 0
+    for i in range(n):
+        seg = stream[prev:cuts[i]]
+        prev = int(cuts[i])
+        padn = (-seg.size) % 8
+        if padn:
+            seg = np.concatenate([seg, np.ones(padn, np.uint8)])
+        scan = np.packbits(seg)
+        ffs = np.flatnonzero(scan == 0xFF)
+        if ffs.size:
+            scan = np.insert(scan, ffs + 1, np.uint8(0))
+        h, w = dims[i]
+        out.append(
+            _gray_header(h, w, q_lum) + scan.tobytes() + b"\xff\xd9"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------

@@ -139,11 +139,23 @@ def encode_png(
     }
     needed = range(5) if filter_type is None else [int(filter_type)]
     filtered = {f: planes[f]() for f in needed}
-    out = bytearray()
-    for y in range(h):
-        ftype = (y % 5) if filter_type is None else int(filter_type)
-        out.append(ftype)
-        out += (filtered[ftype][y] & 0xFF).astype(np.uint8).tobytes()
+    # assemble [filter_byte | filtered row] rows in one array op per
+    # filter type instead of a per-row Python loop (round-8; byte-
+    # identical, the corpus encoder runs once per image per bench rep)
+    out2d = np.empty((h, stride + 1), np.uint8)
+    if filter_type is None:
+        ft_col = (np.arange(h) % 5).astype(np.uint8)
+        out2d[:, 0] = ft_col
+        for f in needed:
+            rows_f = np.flatnonzero(ft_col == f)
+            if rows_f.size:
+                out2d[rows_f, 1:] = (
+                    filtered[f][rows_f] & 0xFF
+                ).astype(np.uint8)
+    else:
+        out2d[:, 0] = np.uint8(int(filter_type))
+        out2d[:, 1:] = (filtered[int(filter_type)] & 0xFF).astype(np.uint8)
+    out = out2d.tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     chunks = _SIG + _chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -171,44 +183,71 @@ def _unfilter_region(raw, off, n_rows, stride, bpp):
     """Reverse PNG scanline filters over one filtered region (the whole
     image, or one Adam7 pass — each pass filters against its OWN rows
     only, so `prev` starts at zeros per region).  Returns
-    (reconstructed bytes, new offset)."""
+    (reconstructed bytes, new offset).
+
+    Round-8: rows are processed in RUNS of a constant filter type so
+    the common filters vectorize across whole runs instead of per row
+    (the decode hot path runs once per image in the bench corpus, which
+    is all-Up):
+      * a None run is a block copy;
+      * a Sub run is row-independent (left-neighbor only), one
+        per-byte-lane cumsum over the whole run (uint8 wraps mod 256);
+      * an Up run is a column-wise cumsum seeded with the previous
+        reconstructed row — recon[y] = line[y] + recon[y-1] telescopes
+        to prev + cumsum(lines) in wrapping uint8;
+      * Average/Paeth reconstruct left-to-right (sequential data
+        dependency) and keep the per-row scalar loop.
+    Output is byte-identical to the round-7 per-row loop (pinned by the
+    spec goldens in tests/test_png_codec.py)."""
     end = off + n_rows * (stride + 1)
     if end > len(raw):
         raise ValueError("PNG IDAT length mismatch")
-    recon = bytearray(n_rows * stride)
-    prev = bytes(stride)
-    for y in range(n_rows):
-        base = off + y * (stride + 1)
-        ftype = raw[base]
-        line = raw[base + 1 : base + 1 + stride]
-        row = bytearray(stride)
+    if n_rows == 0:
+        return bytearray(), end
+    mat = np.frombuffer(bytes(raw[off:end]), np.uint8).reshape(
+        n_rows, stride + 1
+    )
+    ftypes = mat[:, 0]
+    if ftypes.max(initial=0) > 4:
+        y = int(np.argmax(ftypes > 4))
+        raise ValueError(f"PNG: bad filter type {ftypes[y]} on row {y}")
+    lines = mat[:, 1:]
+    recon = np.empty((n_rows, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    # run boundaries of constant filter type
+    bounds = np.flatnonzero(np.diff(ftypes)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n_rows]))
+    for y0, y1 in zip(starts.tolist(), ends.tolist()):
+        ftype = int(ftypes[y0])
+        blk = lines[y0:y1]
         if ftype == 0:  # None
-            row[:] = line
-        elif ftype == 1:  # Sub — per-byte-lane cumsum (uint8 wraps mod 256)
-            lanes = np.frombuffer(line, np.uint8).reshape(-1, bpp)
-            row[:] = np.cumsum(lanes, axis=0, dtype=np.uint8).tobytes()
-        elif ftype == 2:  # Up — vectorizable, the common filter
-            row[:] = (
-                (
-                    np.frombuffer(line, np.uint8).astype(np.uint16)
-                    + np.frombuffer(prev, np.uint8)
-                )
-                & 0xFF
-            ).astype(np.uint8).tobytes()
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                row[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-        else:
-            raise ValueError(f"PNG: bad filter type {ftype} on row {y}")
-        recon[y * stride : (y + 1) * stride] = row
-        prev = bytes(row)
-    return recon, end
+            recon[y0:y1] = blk
+        elif ftype == 1:  # Sub — per-lane cumsum, rows independent
+            recon[y0:y1] = np.cumsum(
+                blk.reshape(y1 - y0, -1, bpp), axis=1, dtype=np.uint8
+            ).reshape(y1 - y0, stride)
+        elif ftype == 2:  # Up — telescoping column cumsum from prev
+            recon[y0:y1] = np.cumsum(blk, axis=0, dtype=np.uint8) + prev
+        else:  # Average / Paeth: sequential left dependency
+            for y in range(y0, y1):
+                line = blk[y - y0]
+                row = bytearray(stride)
+                if ftype == 3:
+                    for x in range(stride):
+                        left = row[x - bpp] if x >= bpp else 0
+                        row[x] = (int(line[x]) + (left + prev[x]) // 2) & 0xFF
+                else:
+                    for x in range(stride):
+                        left = row[x - bpp] if x >= bpp else 0
+                        ul = int(prev[x - bpp]) if x >= bpp else 0
+                        row[x] = (
+                            int(line[x]) + _paeth(left, int(prev[x]), ul)
+                        ) & 0xFF
+                recon[y] = np.frombuffer(bytes(row), np.uint8)
+                prev = recon[y]
+        prev = recon[y1 - 1]
+    return bytearray(recon.tobytes()), end
 
 
 def decode_png(blob: bytes) -> np.ndarray:
