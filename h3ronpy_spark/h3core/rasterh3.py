@@ -273,6 +273,9 @@ def rasters_to_cells_batch(
     # survivors only
     cells_parts = []
     img_parts = []
+    dec_face_parts = []
+    dec_a_parts = []
+    dec_b_parts = []
     if ax_a:
         fa = np.concatenate(ax_face)
         aa = np.concatenate(ax_a)
@@ -293,6 +296,9 @@ def rasters_to_cells_batch(
         cells_fast = axial_to_cell(fa[su], aa[su], bb2[su], int(h3_res))
         cells_parts.append(cells_fast)
         img_parts.append(ii[keep])
+        dec_face_parts.append(fa[su])
+        dec_a_parts.append(aa[su])
+        dec_b_parts.append(bb2[su])
     if slow_lat:
         lat_s = np.concatenate(slow_lat)
         lng_s = np.concatenate(slow_lng)
@@ -302,21 +308,53 @@ def rasters_to_cells_batch(
         )
         cells_parts.append(cells_slow)
         img_parts.append(img_s)
+        dec_face_parts.append(np.full(cells_slow.shape, -1, np.int64))
+        dec_a_parts.append(np.zeros(cells_slow.shape, np.int64))
+        dec_b_parts.append(np.zeros(cells_slow.shape, np.int64))
 
     cells = np.concatenate(cells_parts)
     img_all = np.concatenate(img_parts)
+    dface = np.concatenate(dec_face_parts)
+    da = np.concatenate(dec_a_parts)
+    db = np.concatenate(dec_b_parts)
     ok = cells != -1
     cells, img_all = cells[ok], img_all[ok]
+    dface, da, db = dface[ok], da[ok], db[ok]
     # --- final (img, cell) lexsort + dedupe (identical to round 7, so
     # output rows AND order are byte-for-byte unchanged)
     order = np.lexsort((cells, img_all))
     cells, img_all = cells[order], img_all[order]
+    dface, da, db = dface[order], da[order], db[order]
     keep = np.ones(cells.shape, dtype=bool)
     keep[1:] = (cells[1:] != cells[:-1]) | (img_all[1:] != img_all[:-1])
     cells, img_all = cells[keep], img_all[keep]
+    dface, da, db = dface[keep], da[keep], db[keep]
 
-    # --- one whole-batch decode + per-image affine inverse (gathered)
-    clat, clng = cell_to_latlng(cells)
+    # --- one whole-batch decode + per-image affine inverse (gathered).
+    # Fast-path rows already carry the cell's lattice coords (face, a,
+    # b) from the encode, so their centroid comes straight from
+    # fijk_to_geo — skipping cell_to_fijk's digit unwind, which is 80%
+    # of cell_to_latlng.  The (face, a, b) frame can differ from the
+    # canonical home-face frame cell_to_fijk reconstructs (same point
+    # on the sphere, last-ulp float differences possible), so this path
+    # is gated by the corpus-equality sweep in
+    # tools/validate_rasterh3.py + tests/test_rasterh3_v2.py: every
+    # driver-visible corpus decodes to identical pixel assignments.
+    # Fallback rows (face < 0) keep the canonical decode.
+    clat = np.empty(cells.shape[0])
+    clng = np.empty(cells.shape[0])
+    fastm = dface >= 0
+    if fastm.any():
+        from .latlng import fijk_to_geo
+
+        af, bf = da[fastm], db[fastm]
+        kk = -np.minimum(np.minimum(af, bf), 0)
+        cijk = np.stack([af + kk, bf + kk, kk], axis=-1)
+        res_arr = np.full(af.shape, int(h3_res), np.int64)
+        clat[fastm], clng[fastm] = fijk_to_geo(dface[fastm], cijk, res_arr)
+    if not fastm.all():
+        sm = ~fastm
+        clat[sm], clng[sm] = cell_to_latlng(cells[sm])
     clatd, clngd = np.degrees(clat), np.degrees(clng)
     ai, bi, ci = a[img_all], b[img_all], c[img_all]
     di, ei, fi = d[img_all], e[img_all], f[img_all]
