@@ -75,8 +75,16 @@ def _cells_np(s: pd.Series) -> np.ndarray:
 def _to_cells_series(h: np.ndarray) -> pd.Series:
     # nullable Int64, NOT .mask() on an int64 series: mask() coerces to
     # float64, which silently corrupts cell ids (> 2^53) in any batch that
-    # contains a null row
-    return pd.Series(pd.arrays.IntegerArray(h.astype(np.int64), mask=(h == -1)))
+    # contains a null row.  Round-8: batches with no invalid rows (the
+    # overwhelming case on clean inputs) return a plain int64 Series —
+    # the nullable IntegerArray's mask handling costs real time in the
+    # Arrow write-back of large encode batches, and a -1 can only come
+    # from the kernels' invalid-input sentinel, never a valid cell id.
+    h = h.astype(np.int64, copy=False)
+    mask = h == -1
+    if not mask.any():
+        return pd.Series(h)
+    return pd.Series(pd.arrays.IntegerArray(h, mask=mask))
 
 
 @pandas_udf(T.LongType())

@@ -400,11 +400,18 @@ def flagship(
         )
 
     # captions: do NOT forward the image-scan partition count — the
-    # caption projection is ~90 ms of generation for 60k rows, and at
-    # 256 tasks the pandas-runner per-task cost made this tiny stage a
-    # measured 1.8 s (bench_extra.py).  _default_parts sizes it to one
-    # task wave.
-    caps = synth_captions(spark, n_images, seed=seed)
+    # caption projection is ~1.5 us/row of generation, and at 256 tasks
+    # the pandas-runner per-task cost made this tiny stage a measured
+    # 1.8 s (bench_extra.py).  Python tasks also carry a ~5 ms
+    # SERIALIZED launch cost on top of the parallel work, so even one
+    # 32-task wave pays ~0.16 s of pure scheduling; size the stage by
+    # ROWS (16k/task ≈ 25 ms of real work each) instead — measured
+    # 0.17 s at 4 tasks vs 0.33 s at 32 for 60k images, still
+    # scale-adaptive (task count grows with n_images, capped at the
+    # session parallelism).
+    dp_caps = spark.sparkContext.defaultParallelism
+    caps_parts = max(1, min(dp_caps, (n_images + 16383) // 16384))
+    caps = synth_captions(spark, n_images, seed=seed, partitions=caps_parts)
     # broadcast only while the caption side is genuinely small: the hash
     # relation is built single-threaded on the driver (the round-3 Amdahl
     # lesson, spatial_join.py lift_coverage rule).  Past ~200k rows force

@@ -65,13 +65,20 @@ def _legacy_flagship(spark, n_images, n_polygons, res, fmt="raw8", seed=42):
 @pytest.mark.parametrize("fmt", ["raw8", "png", "jpeg"])
 def test_fused_equals_legacy(spark, fmt):
     from h3ronpy_spark.plans.flagship import flagship
+    from h3ronpy_spark.sources.images import unregister_codec
 
-    a = sorted(
-        map(tuple, flagship(spark, 2000, n_polygons=40, res=9,
-                            fmt=fmt).collect())
-    )
-    b = sorted(map(tuple, _legacy_flagship(spark, 2000, 40, 9,
-                                           fmt=fmt).collect()))
+    try:
+        a = sorted(
+            map(tuple, flagship(spark, 2000, n_polygons=40, res=9,
+                                fmt=fmt).collect())
+        )
+        b = sorted(map(tuple, _legacy_flagship(spark, 2000, 40, 9,
+                                               fmt=fmt).collect()))
+    finally:
+        # suite isolation: flagship(fmt=...) registers the codec in the
+        # GLOBAL registry (same cleanup as test_skew_and_codecs)
+        unregister_codec("png")
+        unregister_codec("jpeg")
     assert a == b and len(a) > 3
 
 
