@@ -380,7 +380,19 @@ def _q_minhash_pairs(spark, sf):
     from h3ronpy_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    return minhash_lsh_pairs(d, threshold=0.6)
+    # round-8: the sf documents parquet is a single row group, so the
+    # Arrow signature kernel otherwise runs as ONE task (~0.3 s serial).
+    # Spread the 2000 filtered docs across ~512-doc tasks (size-derived,
+    # not core-count-derived; hash partitioning, no sort).  Row-local
+    # signatures + content-keyed joins make the result partitioning-
+    # independent — verified identical as-is/4/8 partitions; measured
+    # 1.97 -> 1.72 s warm.
+    d = d.repartition(4, "doc_id")
+    # join_partitions likewise size-derived: 2000 docs x 8 bands = 16k
+    # skinny rows want a 4-wide exchange, not the session's 32 (the
+    # explicit repartition inside the operator is exempt from AQE
+    # coalescing; 1.94 -> 1.26 s warm, results identical)
+    return minhash_lsh_pairs(d, threshold=0.6, join_partitions=4)
 
 
 def _q_simhash(spark, sf):
@@ -706,6 +718,11 @@ def _q_lsh_ann(spark, sf):
     from h3ronpy_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf, "embeddings")
+    # round-8: single-row-group parquet -> the band-signature Arrow UDF
+    # otherwise runs as one task (twice: sizes branch + join branch).
+    # Size-derived split; hash partitioning is result-neutral (verified
+    # identical as-is/4/8; measured 1.08 -> 0.89 s warm).
+    emb = emb.repartition(4, "vec_id")
     q = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )

@@ -279,6 +279,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     sigs: DataFrame | None = None,
+    join_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash, verified by signature
     Jaccard estimate >= threshold. Returns (id_a, id_b, est_jaccard).
@@ -327,7 +328,19 @@ def minhash_lsh_pairs(
     # pre-partition on the join key so BOTH self-join sides hang off ONE
     # exchange (ReusedExchange): one signature pass + one shuffle write
     # instead of two of each (measured 5.3 s vs 7.6 s at sf0.1)
-    bands = bands.repartition("band", "bucket", "__sub")
+    # round-8: an EXPLICIT repartition is exempt from AQE partition
+    # coalescing, so a small corpus pays spark.sql.shuffle.partitions
+    # tasks here no matter how few rows flow.  `join_partitions` lets a
+    # caller that knows its size pick the exchange width (results are
+    # partitioning-independent — verified identical at 4/8/32; measured
+    # 1.94 -> 1.26 s at 2000 docs); the default keeps the session width
+    # for corpus-scale runs.
+    if join_partitions is not None:
+        bands = bands.repartition(
+            join_partitions, "band", "bucket", "__sub"
+        )
+    else:
+        bands = bands.repartition("band", "bucket", "__sub")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = a.join(
