@@ -230,7 +230,7 @@ def rasters_to_cells_batch(
         face_of[sep_idx[same]] = cface[same, 0]
 
     # --- front half of the encode per image: face-plane axial coords
-    ax_a, ax_b, ax_face, ax_img = [], [], [], []
+    ax_x, ax_y, ax_face, ax_img = [], [], [], []
     slow_lat, slow_lng, slow_img = [], [], []
     for i in range(n):
         fc = int(face_of[i])
@@ -261,13 +261,14 @@ def rasters_to_cells_batch(
         dot_v = np.outer(coslat, pv) + (V[2] * sinlat)[:, None]
         dot_c = np.outer(coslat, pc) + (C[2] * sinlat)[:, None]
         s = kscale / dot_c
-        aa, bb2 = IJK.hex2d_to_axial(
-            (dot_u * s).ravel(), (dot_v * s).ravel()
-        )
-        ax_a.append(aa)
-        ax_b.append(bb2)
-        ax_face.append(np.full(aa.size, fc, dtype=np.int64))
-        ax_img.append(np.full(aa.size, i, dtype=np.int64))
+        # defer the hex rounding: collect face-plane (x, y) per image
+        # and run hex2d_to_axial ONCE on the whole batch below (the
+        # per-image calls were ~35% of the kernel in tiny-array
+        # overhead; the function is elementwise, so batching is exact)
+        ax_x.append((dot_u * s).ravel())
+        ax_y.append((dot_v * s).ravel())
+        ax_face.append(np.full(ax_x[-1].size, fc, dtype=np.int64))
+        ax_img.append(np.full(ax_x[-1].size, i, dtype=np.int64))
 
     # --- dedupe axial samples per image, THEN unwind digits on the
     # survivors only
@@ -276,22 +277,39 @@ def rasters_to_cells_batch(
     dec_face_parts = []
     dec_a_parts = []
     dec_b_parts = []
-    if ax_a:
+    if ax_x:
         fa = np.concatenate(ax_face)
-        aa = np.concatenate(ax_a)
-        bb2 = np.concatenate(ax_b)
         ii = np.concatenate(ax_img)
-        # (face, a, b) packs into one sortable int64: face 5 bits, a/b
-        # offset-biased 26 bits each (|a|,|b| < 2^25 for res <= 15)
-        key = (
-            (fa << np.int64(52))
-            | ((aa + np.int64(1 << 25)) << np.int64(26))
-            | (bb2 + np.int64(1 << 25))
+        aa, bb2 = IJK.hex2d_to_axial(
+            np.concatenate(ax_x), np.concatenate(ax_y)
         )
-        order = np.lexsort((key, ii))
-        key, ii = key[order], ii[order]
-        keep = np.ones(key.shape, dtype=bool)
-        keep[1:] = (key[1:] != key[:-1]) | (ii[1:] != ii[:-1])
+        # (face, a, b) packs into one sortable int64: face 5 bits, a/b
+        # offset-biased 26 bits each (|a|,|b| < 2^25 for res <= 15).
+        # Fast-path images each use ONE face, so for small batches the
+        # image index replaces the face bits and the whole (img, a, b)
+        # dedupe key fits a single int64 — one argsort instead of a
+        # two-key lexsort (the sort is ~1/4 of the kernel).
+        if n <= 2048:
+            key = (
+                (ii << np.int64(52))
+                | ((aa + np.int64(1 << 25)) << np.int64(26))
+                | (bb2 + np.int64(1 << 25))
+            )
+            order = np.argsort(key, kind="stable")
+            key = key[order]
+            keep = np.ones(key.shape, dtype=bool)
+            keep[1:] = key[1:] != key[:-1]
+            ii = ii[order]
+        else:
+            key = (
+                (fa << np.int64(52))
+                | ((aa + np.int64(1 << 25)) << np.int64(26))
+                | (bb2 + np.int64(1 << 25))
+            )
+            order = np.lexsort((key, ii))
+            key, ii = key[order], ii[order]
+            keep = np.ones(key.shape, dtype=bool)
+            keep[1:] = (key[1:] != key[:-1]) | (ii[1:] != ii[:-1])
         su = order[keep]
         cells_fast = axial_to_cell(fa[su], aa[su], bb2[su], int(h3_res))
         cells_parts.append(cells_fast)
