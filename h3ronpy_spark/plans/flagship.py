@@ -107,7 +107,8 @@ def _coverage_index(spark: SparkSession, cov: DataFrame):
     return bc, res_list, len(cells)
 
 
-def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata):
+def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata,
+                     batch_codecs=None):
     """The fused generate->decode->tile->PIP-assign->partial-rollup
     kernel (see module docstring).  Returns a mapInPandas function over
     `id` batches yielding (image_id, poly_id, n_tiles, sum_px) rows —
@@ -130,7 +131,7 @@ def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata):
         from ..h3core.rasterh3 import rasters_to_cells_batch
         from ..sources.images import (
             PIXEL_DEG,
-            decode_image_with,
+            decode_images_with,
             georef_of_phash,
         )
 
@@ -141,12 +142,13 @@ def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata):
         wcol = pdf["w"].to_numpy(np.int64)
         hcol = pdf["h"].to_numpy(np.int64)
         fmts = pdf["fmt"].tolist()
-        bands = [
-            decode_image_with(
-                codecs, blobs[i], int(wcol[i]), int(hcol[i]), fmts[i]
-            )
-            for i in range(len(ids))
-        ]
+        # batch path (round 8): fmts with a registered batch decoder
+        # whose per-image codec is unoverridden decode via the lockstep
+        # batch decoder; a codec_override disables it for that fmt, so
+        # the override seam's semantics are unchanged
+        bands = decode_images_with(
+            codecs, batch_codecs or {}, blobs, wcol, hcol, fmts
+        )
         tfs = np.zeros((len(ids), 6))
         tfs[:, 0] = PIXEL_DEG
         tfs[:, 2] = lng
@@ -297,6 +299,7 @@ def flagship(
     # for the build and the global registry is restored right after —
     # no leak into other plans
     from ..sources.images import (
+        batch_codec_snapshot,
         codec_snapshot,
         register_codec,
         unregister_codec,
@@ -316,6 +319,7 @@ def flagship(
                     unregister_codec(ofmt)
     else:
         codecs = codec_snapshot()
+    batch_codecs = batch_codec_snapshot()
 
     polys = synth_polygons(spark, n_polygons, seed=seed)
     cov = coverage
@@ -343,7 +347,8 @@ def flagship(
             parts = max(1, min(dp, (n_images + 255) // 256))
             gen_fn = _gen_fn_for(fmt, seed)
             per_img = spark.range(0, n_images, 1, parts).mapInPandas(
-                _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, 0),
+                _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, 0,
+                                 batch_codecs),
                 "image_id string, poly_id string, "
                 "n_tiles long, sum_px long",
             )
