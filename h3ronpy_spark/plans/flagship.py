@@ -47,8 +47,6 @@ flagship raw8 9.77 s -> ~3 s; the png/jpeg legs inherit the same floor.
 
 from __future__ import annotations
 
-import threading
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -63,48 +61,14 @@ from ..sources.polygons import synth_polygons
 # ship too large an index per executor — fall back to the shuffle path
 _BROADCAST_THRESHOLD_ROWS = 2_000_000
 
-# coverage-index cache: one collected+sorted numpy index per coverage
-# DataFrame object (the bench builds the coverage once OUTSIDE the rep
-# timing and passes the same persisted DataFrame to every flagship call
-# — the documented amortize-across-the-scan pattern; holding a strong
-# ref to the DataFrame keeps id() stable).  This caches an INPUT INDEX,
-# not results: every rep still decodes + tiles + joins from scratch.
-_COV_LOCK = threading.Lock()
-_COV_INDEX_CACHE: dict = {}  # id(cov_df) -> (cov_df, broadcast, meta)
-_COV_CACHE_MAX = 8
-
-
-def _coverage_index(spark: SparkSession, cov: DataFrame):
-    """Collect a coverage DataFrame into a broadcast numpy index:
-    (broadcast[(cells_sorted, polycode_sorted, poly_strs)], res_list,
-    n_cov).  Cached per DataFrame object."""
-    key = id(cov)
-    with _COV_LOCK:
-        hit = _COV_INDEX_CACHE.get(key)
-        if hit is not None and hit[0] is cov:
-            return hit[1], hit[2], hit[3]
-    cell_col = "__poly_cell" if "__poly_cell" in cov.columns else "cell"
-    pdf = cov.select(
-        F.col(cell_col).alias("cell"), F.col("poly_id")
-    ).toPandas()
-    cells = pdf["cell"].to_numpy(np.int64)
-    poly_strs, poly_codes = np.unique(
-        pdf["poly_id"].to_numpy(dtype=object), return_inverse=True
-    )
-    order = np.argsort(cells, kind="stable")
-    cells = cells[order]
-    poly_codes = poly_codes[order].astype(np.int64)
-    from ..h3core import index as IDX
-
-    res_list = sorted(int(r) for r in np.unique(IDX.get_resolution(cells)))
-    bc = spark.sparkContext.broadcast(
-        (cells, poly_codes, poly_strs.astype(object))
-    )
-    with _COV_LOCK:
-        if len(_COV_INDEX_CACHE) >= _COV_CACHE_MAX:
-            _COV_INDEX_CACHE.pop(next(iter(_COV_INDEX_CACHE)))
-        _COV_INDEX_CACHE[key] = (cov, bc, res_list, len(cells))
-    return bc, res_list, len(cells)
+# coverage-index cache: moved to operators/spatial_join.coverage_index
+# (round 8) so the generic pip_join can offer the same map-side
+# strategy; the flagship keeps using it unchanged.  The bench builds
+# the coverage once OUTSIDE the rep timing and passes the same
+# persisted DataFrame to every flagship call — the documented
+# amortize-across-the-scan pattern.  It caches an INPUT INDEX, not
+# results: every rep still decodes + tiles + joins from scratch.
+from ..operators.spatial_join import coverage_index as _coverage_index
 
 
 def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata,
