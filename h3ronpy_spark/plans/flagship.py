@@ -88,6 +88,7 @@ def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata,
         "poly_id": pd.Series([], dtype=object),
         "n_tiles": pd.Series([], dtype=np.int64),
         "sum_px": pd.Series([], dtype=np.int64),
+        "caption": pd.Series([], dtype=object),
     }
 
     def one_chunk(ids):
@@ -159,12 +160,19 @@ def _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, nodata,
         n_tiles = np.diff(np.append(starts, ki.size)).astype(np.int64)
         sum_px = np.add.reduceat(v, starts)
         img_ids = pdf["image_id"].to_numpy(dtype=object)
+        # caption rides the per-(poly, image) rollup rows (round 8):
+        # it is already generated in this pdf (a pure function of
+        # id + phash, byte-identical to synth_captions), so emitting it
+        # here removes the caption table, its per-action driver-serial
+        # broadcast hash build, and the join from the fused plan
+        caps = pdf["caption"].to_numpy(dtype=object)
         return pd.DataFrame(
             {
                 "image_id": img_ids[ki[starts]],
                 "poly_id": poly_strs[kp[starts]],
                 "n_tiles": n_tiles,
                 "sum_px": sum_px,
+                "caption": caps[ki[starts]],
             }
         )
 
@@ -314,7 +322,7 @@ def flagship(
                 _fused_rollup_fn(gen_fn, codecs, res, res_list, bc, 0,
                                  batch_codecs),
                 "image_id string, poly_id string, "
-                "n_tiles long, sum_px long",
+                "n_tiles long, sum_px long, caption string",
             )
 
     if per_img is None:
@@ -366,6 +374,22 @@ def flagship(
         per_img = joined.groupBy("poly_id", "image_id").agg(
             F.count("*").alias("n_tiles"),
             F.sum("px_value").alias("sum_px"),
+        )
+
+    if "caption" in per_img.columns:
+        # fused path: caption already attached in-kernel (see
+        # _fused_rollup_fn) — no caption table, no broadcast build,
+        # no join
+        per_img_c = per_img
+        return (
+            per_img_c.groupBy("poly_id")
+            .agg(
+                F.sum("n_tiles").alias("n_tiles"),
+                F.count("*").alias("n_images"),
+                F.sum("sum_px").alias("sum_px"),
+                F.countDistinct("caption").alias("n_captions"),
+            )
+            .orderBy("poly_id")
         )
 
     # captions: do NOT forward the image-scan partition count — the

@@ -83,16 +83,17 @@ def test_fused_equals_legacy(spark, fmt):
 
 
 def test_fused_plan_shape(spark):
-    """Fused plan: the coverage join is map-side (no BroadcastHashJoin
-    beyond the caption join), no Expand, exactly two Python stages
-    (fused kernel + caption generator)."""
+    """Fused plan: the coverage join is map-side and the caption rides
+    the rollup rows (round 8) — NO joins at all, no Expand, exactly
+    one Python stage (the fused kernel)."""
     from h3ronpy_spark.plans.flagship import flagship
 
     df = flagship(spark, 400, n_polygons=8, res=9)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
+    assert plan.count("BroadcastHashJoin") == 0, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
     assert "Expand" not in plan
-    assert plan.count("MapInPandas") == 2, plan[:3000]
+    assert plan.count("MapInPandas") == 1, plan[:3000]
 
 
 def test_fused_salt_falls_back(spark):

@@ -122,8 +122,11 @@ class TestNonBroadcastBranches:
         branch pins an explicit shuffle_hash hint."""
         from h3ronpy_spark.plans.flagship import flagship
 
-        big = flagship(spark, 200_001, n_polygons=3, res=6)
-        small = flagship(spark, 200_000, n_polygons=3, res=6)
+        # round-8: the fused path carries the caption in-kernel and has
+        # no caption join at all; the join (and this strategy guard)
+        # lives on in the fallback plan — force it with salt=
+        big = flagship(spark, 200_001, n_polygons=3, res=6, salt=2)
+        small = flagship(spark, 200_000, n_polygons=3, res=6, salt=2)
         plan_big = _plan(big)
         assert "ShuffledHashJoin" in plan_big, plan_big[:3000]
         # ...while at/below the threshold the driver broadcast is forced
