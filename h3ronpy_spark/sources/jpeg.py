@@ -534,6 +534,15 @@ def _gray_header(h: int, w: int, q_lum: np.ndarray) -> bytes:
     return bytes(out)
 
 
+@functools.lru_cache(maxsize=1024)
+def _gray_header_cached(h: int, w: int, quality: int) -> bytes:
+    """_gray_header keyed by (h, w, quality): a corpus has few distinct
+    geometries, and rebuilding the DQT/DHT payload bytes per image was
+    ~25 us/img of the batch encoder's tail."""
+    q_lum, _ = _quality_tables(quality)
+    return _gray_header(h, w, q_lum)
+
+
 def encode_jpeg_batch_gray(
     bands: list, quality: int = 90
 ) -> list[bytes]:
@@ -668,14 +677,11 @@ def encode_jpeg_batch_gray(
         padn = (-seg.size) % 8
         if padn:
             seg = np.concatenate([seg, np.ones(padn, np.uint8)])
-        scan = np.packbits(seg)
-        ffs = np.flatnonzero(scan == 0xFF)
-        if ffs.size:
-            scan = np.insert(scan, ffs + 1, np.uint8(0))
+        # bytes.replace IS the T.81 byte-stuffing rule (a 0x00 after
+        # every 0xFF) at C speed — np.insert was ~14 us/img here
+        scan = np.packbits(seg).tobytes().replace(b"\xff", b"\xff\x00")
         h, w = dims[i]
-        out.append(
-            _gray_header(h, w, q_lum) + scan.tobytes() + b"\xff\xd9"
-        )
+        out.append(_gray_header_cached(h, w, quality) + scan + b"\xff\xd9")
     return out
 
 
